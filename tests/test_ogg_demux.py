@@ -1,0 +1,157 @@
+"""Ogg demux tests: pages -> packets against libogg-muxed real files."""
+
+import io
+import os
+
+import pytest
+
+from lewton_tpu.ogg import OggError, PacketReader, crc32_ogg
+
+
+def _read_all(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    r = PacketReader(data)
+    pkts = []
+    while True:
+        p = r.read_packet()
+        if p is None:
+            return data, pkts
+        pkts.append(p)
+
+
+def test_crc_known_vector():
+    # CRC vs libogg is implicitly covered by parsing real files below;
+    # here: algebraic sanity of the table-driven implementation.
+    assert crc32_ogg(b"") == 0
+    assert crc32_ogg(b"\x00") == 0
+    assert crc32_ogg(b"\x01") == 0x04C11DB7
+
+
+def test_parse_real_file(corpus_dir):
+    data, pkts = _read_all(os.path.join(corpus_dir, "stereo_44k_q3.ogg"))
+    assert len(pkts) > 10
+    # first three packets are the vorbis headers
+    assert pkts[0].data[:7] == b"\x01vorbis"
+    assert pkts[1].data[:7] == b"\x03vorbis"
+    assert pkts[2].data[:7] == b"\x05vorbis"
+    assert pkts[0].first_in_stream
+    assert not pkts[1].first_in_stream
+    assert pkts[-1].last_in_stream
+    # audio packets have bit 0 of byte 0 clear (type flag)
+    for p in pkts[3:]:
+        assert (p.data[0] & 1) == 0
+    # all packets share the serial
+    assert len({p.stream_serial for p in pkts}) == 1
+    # final page granule equals total sample count of the file
+    import json
+
+    meta = json.load(open(os.path.join(corpus_dir, "stereo_44k_q3.json")))
+    last_absgp = [p.absgp_page for p in pkts if p.absgp_page is not None][-1]
+    assert last_absgp == meta["pcm_total"]
+
+
+def test_chained_file(corpus_dir):
+    _, pkts = _read_all(os.path.join(corpus_dir, "chained_44k.ogg"))
+    serials = []
+    for p in pkts:
+        if p.stream_serial not in serials:
+            serials.append(p.stream_serial)
+    assert len(serials) == 2
+    firsts = [p for p in pkts if p.first_in_stream]
+    lasts = [p for p in pkts if p.last_in_stream]
+    assert len(firsts) == 2 and len(lasts) == 2
+    assert firsts[0].data[:7] == b"\x01vorbis"
+    assert firsts[1].data[:7] == b"\x01vorbis"
+
+
+def test_crc_corruption_skips_page(corpus_dir):
+    data, pkts = _read_all(os.path.join(corpus_dir, "stereo_44k_q3.ogg"))
+    # flip a bit in the middle of the file body; that page must be dropped
+    corrupt = bytearray(data)
+    corrupt[len(data) // 2] ^= 0x40
+    r = PacketReader(bytes(corrupt))
+    got = 0
+    while r.read_packet() is not None:
+        got += 1
+    assert 0 < got < len(pkts)
+
+
+def test_truncated_file(corpus_dir):
+    data, pkts = _read_all(os.path.join(corpus_dir, "stereo_44k_q3.ogg"))
+    r = PacketReader(data[: len(data) // 2])
+    got = 0
+    while r.read_packet() is not None:
+        got += 1
+    assert 0 < got < len(pkts)
+
+
+def test_garbage_between_pages(corpus_dir):
+    # resync: junk injected between two pages is skipped
+    data, pkts = _read_all(os.path.join(corpus_dir, "tiny_44k.ogg"))
+    # find second page boundary
+    second = data.find(b"OggS", 4)
+    assert second > 0
+    injected = data[:second] + b"\xde\xad\xbe\xef" * 8 + data[second:]
+    _, pkts2 = _read_all_bytes(injected)
+    assert [p.data for p in pkts2] == [p.data for p in pkts]
+
+
+def _read_all_bytes(data):
+    r = PacketReader(data)
+    pkts = []
+    while True:
+        p = r.read_packet()
+        if p is None:
+            return data, pkts
+        pkts.append(p)
+
+
+def test_pure_garbage():
+    r = PacketReader(b"\x00" * 1000 + b"OggS" + b"\xff" * 100)
+    assert r.read_packet() is None
+
+
+def test_empty():
+    assert PacketReader(b"").read_packet() is None
+
+
+def test_large_packet_spanning_pages(corpus_dir):
+    # header setup packets often span lacing values of 255; q10 file has
+    # large setup -> exercise continued packets. Verify against vorbisfile
+    # decode succeeding implies our packet bytes are plausible; here check
+    # that no packet was silently split (all headers intact).
+    _, pkts = _read_all(os.path.join(corpus_dir, "stereo_44k_q10.ogg"))
+    assert pkts[2].data[:7] == b"\x05vorbis"
+    assert len(pkts[2].data) > 255  # setup header larger than one segment
+
+
+def test_seek_absgp(corpus_dir):
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    data, pkts = _read_all(path)
+    granules = [p.absgp_page for p in pkts if p.absgp_page is not None]
+    target = granules[len(granules) // 2]
+    r = PacketReader(data)
+    serial = pkts[0].stream_serial
+    r.seek_absgp(target, serial=serial)
+    p = r.read_packet_expected()
+    # packets delivered resume before-or-at the target granule's page
+    seen = []
+    while p is not None:
+        if p.absgp_page is not None:
+            seen.append(p.absgp_page)
+            if len(seen) > 3:
+                break
+        p = r.read_packet()
+    assert seen, "no packets after seek"
+    assert seen[0] <= target
+    assert target <= max(seen + [target])
+
+
+def test_seek_absgp_to_start(corpus_dir):
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    data, pkts = _read_all(path)
+    r = PacketReader(data)
+    r.seek_absgp(0)
+    p = r.read_packet_expected()
+    assert p.data == pkts[0].data
