@@ -17,7 +17,7 @@ import numpy as np
 
 from . import vorbisref as vr
 
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 
 
 def _music(rate: int, seconds: float, channels: int, seed: int) -> np.ndarray:
@@ -114,11 +114,13 @@ def build_file(name: str, spec: dict, seed: int) -> tuple[bytes, dict]:
         data = vr.encode(pcm1, rate, quality=quality, serial=1000 + seed) + vr.encode(
             pcm2, rate, quality=0.6, serial=2000 + seed
         )
+        channels = pcm1.shape[0]
     else:
         pcm = _signal(kind, rate, seconds, channels, seed)
         data = vr.encode(
             pcm, rate, quality=quality, bitrates=bitrates, serial=seed
         )
+        channels = pcm.shape[0]
     meta = {"rate": rate, "channels": channels, "kind": kind}
     return data, meta
 
