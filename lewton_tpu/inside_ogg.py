@@ -1,0 +1,213 @@
+"""High-level Ogg/Vorbis stream API.
+
+`OggStreamReader` mirrors the reference's `inside_ogg::OggStreamReader`
+surface (lewton src/inside_ogg.rs:66-314): header reading with serial
+filtering, per-packet decode, chained-stream re-initialization, end-of-stream
+truncation to the page granule, linear sample skip and page-granularity seek.
+
+The decode backend is pluggable: ``backend="numpy"`` uses the pure reference
+synthesis, ``backend="jax"`` routes the numeric half through the TPU device
+pipeline (see lewton_tpu.models.decoder).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from . import samples as samples_mod
+from .audio import (
+    PreviousWindowRight,
+    get_decoded_sample_count,
+    read_audio_packet_generic,
+)
+from .errors import OggError, VorbisError
+from .header import (
+    HeaderSet,
+    read_header_comment,
+    read_header_ident,
+    read_header_setup,
+)
+from .ogg import Packet, PacketReader
+
+__all__ = ["read_headers", "OggStreamReader"]
+
+
+def read_headers(rdr: PacketReader) -> tuple[HeaderSet, int]:
+    """Read the three Vorbis headers; skips packets of other serials
+    (ref: lewton src/inside_ogg.rs:30-51)."""
+    pck = rdr.read_packet_expected()
+    ident = read_header_ident(pck.data)
+    serial = pck.stream_serial
+
+    pck = rdr.read_packet_expected()
+    while pck.stream_serial != serial:
+        pck = rdr.read_packet_expected()
+    comment = read_header_comment(pck.data)
+
+    pck = rdr.read_packet_expected()
+    while pck.stream_serial != serial:
+        pck = rdr.read_packet_expected()
+    setup = read_header_setup(pck.data, ident)
+
+    rdr.delete_unread_packets()
+    return HeaderSet(ident, comment, setup), serial
+
+
+class OggStreamReader:
+    """Reads and decodes a (possibly chained) Ogg Vorbis stream."""
+
+    def __init__(self, source, backend: str = "numpy"):
+        if isinstance(source, (str, bytes, bytearray, memoryview)):
+            if isinstance(source, str):
+                with open(source, "rb") as f:
+                    source = f.read()
+            self.rdr = PacketReader(source)
+        elif isinstance(source, PacketReader):
+            self.rdr = source
+        else:
+            self.rdr = PacketReader(source.read())
+        headers, serial = read_headers(self.rdr)
+        self.ident_hdr = headers.ident
+        self.comment_hdr = headers.comment
+        self.setup_hdr = headers.setup
+        self.stream_serial = serial
+        self.pwr = PreviousWindowRight()
+        # Deliberate improvement over the reference: start granule tracking
+        # at 0 so end-of-stream truncation works even when all audio sits on
+        # a single page (the reference only learns absgp at the first page
+        # boundary and would emit the encoder's padding samples there;
+        # libvorbis truncates — we match libvorbis).
+        self.cur_absgp: int | None = 0
+        self.backend = backend
+
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, packet: bytes) -> np.ndarray:
+        """Decode one packet to planar f32 [ch, out]."""
+        return read_audio_packet_generic(
+            self.ident_hdr, self.setup_hdr, packet, self.pwr, fmt="planar_f32"
+        )
+
+    def read_next_audio_packet(self) -> Packet | None:
+        """Next audio packet of the current stream; handles chained-ogg
+        re-init (ref: lewton src/inside_ogg.rs:114-158)."""
+        while True:
+            pck = self.rdr.read_packet()
+            if pck is None:
+                return None
+            if pck.stream_serial == self.stream_serial:
+                return pck
+            if pck.first_in_stream:
+                # Chained ogg: re-read headers, reset state, prime pwr with
+                # one discarded audio packet.
+                ident = read_header_ident(pck.data)
+                pck2 = self.rdr.read_packet_expected()
+                comment = read_header_comment(pck2.data)
+                pck3 = self.rdr.read_packet_expected()
+                setup = read_header_setup(pck3.data, ident)
+                self.pwr = PreviousWindowRight()
+                self.ident_hdr = ident
+                self.comment_hdr = comment
+                self.setup_hdr = setup
+                self.stream_serial = pck3.stream_serial
+                self.cur_absgp = None
+                prime = self.rdr.read_packet()
+                if prime is None:
+                    return None
+                self._decode(prime.data)
+                self.cur_absgp = (
+                    prime.page_granule if prime.page_granule is not None else 0
+                )
+                return self.rdr.read_packet()
+            # else: ignore packets of unrelated multiplexed streams
+
+    def dec_packet_planar_f32(self, pck: Packet) -> np.ndarray:
+        """Decode with end-of-stream truncation + absgp bookkeeping
+        (ref: lewton src/inside_ogg.rs:209-229)."""
+        decoded = self._decode(pck.data)
+        if self.cur_absgp is not None and pck.last_in_stream:
+            target = max(0, (pck.absgp_page or 0) - self.cur_absgp)
+            decoded = decoded[:, :target]
+        if pck.last_in_page and pck.absgp_page is not None:
+            self.cur_absgp = pck.absgp_page
+        elif self.cur_absgp is not None:
+            self.cur_absgp += decoded.shape[1]
+        return decoded
+
+    def read_dec_packet_generic(self, fmt: str = "planar_i16") -> np.ndarray | None:
+        pck = self.read_next_audio_packet()
+        if pck is None:
+            return None
+        return getattr(samples_mod, fmt)(self.dec_packet_planar_f32(pck))
+
+    def read_dec_packet(self) -> np.ndarray | None:
+        """Planar i16 [ch, n] (ref: read_dec_packet)."""
+        return self.read_dec_packet_generic("planar_i16")
+
+    def read_dec_packet_itl(self) -> np.ndarray | None:
+        """Interleaved i16 [n*ch] (ref: read_dec_packet_itl)."""
+        return self.read_dec_packet_generic("interleaved_i16")
+
+    def read_all_i16(self) -> np.ndarray:
+        """Convenience: decode the whole stream to interleaved i16
+        [samples, channels] (constant channel count assumed)."""
+        chunks = []
+        while (p := self.read_dec_packet_itl()) is not None:
+            chunks.append(p)
+        flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
+        return flat.reshape(-1, self.ident_hdr.channels)
+
+    # ------------------------------------------------------------------ #
+
+    def skip_samples_linear(self, to_skip: int, fmt: str = "planar_i16"):
+        """Skip cheaply using sample counts only; decodes just the packet
+        before the target (to re-prime pwr) and the target packet
+        (ref: lewton src/inside_ogg.rs:244-283).
+
+        Returns (decoded_packet_or_None, leftover_to_skip).
+        """
+        last_pck: Packet | None = None
+        # A packet decoded against an empty window emits 0 samples; count it
+        # as such so skip positions are sample-accurate from stream start
+        # (deliberate fix of a reference quirk — lewton counts the first
+        # packet's nominal length, see its get_decoded_sample_count docs).
+        first_primes = self.pwr.is_empty()
+        while True:
+            next_pck = self.read_next_audio_packet()
+            if next_pck is None:
+                return None, to_skip
+            sample_cnt = get_decoded_sample_count(
+                self.ident_hdr, self.setup_hdr, next_pck.data
+            )
+            if first_primes:
+                sample_cnt = 0
+                first_primes = False
+                last_pck = next_pck
+                self._decode(next_pck.data)  # prime the window
+                continue
+            if self.cur_absgp is not None and next_pck.last_in_stream:
+                last_pck = None
+                target = max(0, (next_pck.absgp_page or 0) - self.cur_absgp)
+                sample_cnt = min(sample_cnt, target)
+            if to_skip < sample_cnt:
+                if last_pck is not None:
+                    self.pwr = PreviousWindowRight()
+                    self._decode(last_pck.data)
+                decoded = self.dec_packet_planar_f32(next_pck)
+                return getattr(samples_mod, fmt)(decoded), to_skip
+            to_skip -= sample_cnt
+            if self.cur_absgp is not None:
+                self.cur_absgp += sample_cnt
+            last_pck = next_pck
+
+    def get_last_absgp(self) -> int | None:
+        return self.cur_absgp
+
+    def seek_absgp_pg(self, absgp: int) -> None:
+        """Page-granularity seek; resets decode state
+        (ref: lewton src/inside_ogg.rs:307-313)."""
+        self.rdr.seek_absgp(absgp)
+        self.cur_absgp = None
+        self.pwr = PreviousWindowRight()

@@ -57,6 +57,10 @@ class Packet:
     absgp_page: int | None
     first_in_page: bool
     last_in_page: bool
+    #: granule of the page this packet ends on regardless of position
+    #: (the ogg crate exposes this for every packet; None if the page
+    #: carries no granule)
+    page_granule: int | None = None
 
 
 @dataclass
@@ -226,6 +230,9 @@ class PacketReader:
                     ),
                     first_in_page=i == 0,
                     last_in_page=ends_page,
+                    page_granule=(
+                        page.granule if page.granule != NO_GRANULE else None
+                    ),
                 )
             )
 

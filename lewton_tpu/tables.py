@@ -1,0 +1,104 @@
+"""Header-derived constant tables (the reference's `header_cached.rs` analog).
+
+Everything here is computed once per stream setup (or per blocksize) and, in
+the TPU pipeline, placed in device memory as constants at trace time:
+
+- Vorbis window slopes: sin(pi/2 * sin^2(pi/n * (i+0.5)))
+- IMDCT synthesis matrices (the MXU formulation of the transform:
+  y = X @ M with M[k, j] = cos(pi/(2n) * (2k+1) * (2j+1+n/2)))
+- floor0 bark-map cos(omega) vectors (spec 6.2.2)
+- the floor1 inverse-dB table (256 spec constants, stored as data)
+
+ref parity: lewton src/header_cached.rs:34-158 (window, twiddles, bark map)
+and src/audio.rs:437-501 (FLOOR1_INVERSE_DB_TABLE). The reference's stb-style
+twiddle/bitrev tables are deliberately NOT reproduced: the TPU-native IMDCT is
+a cosine-matrix product on the MXU (exact transform), not a scalar butterfly
+schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+__all__ = [
+    "window_slope",
+    "imdct_matrix",
+    "bark_cos_omega",
+    "floor1_inverse_db_table",
+]
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@functools.cache
+def floor1_inverse_db_table() -> np.ndarray:
+    """256-entry floor1 amplitude-to-linear table (Vorbis I spec 10.1)."""
+    t = np.load(os.path.join(_DATA_DIR, "floor1_inverse_db.npy"))
+    t.setflags(write=False)
+    return t
+
+
+@functools.cache
+def window_slope(half_n: int) -> np.ndarray:
+    """Left window slope of length n/2 for blocksize n (spec 4.3.1 step 7).
+
+    Computed in float64 and rounded once to float32 (the reference computes
+    in f32 throughout; difference is <=1 ulp, inside the +/-2 LSB contract).
+    """
+    i = np.arange(half_n, dtype=np.float64)
+    v = np.sin(0.5 * np.pi * (i + 0.5) / half_n)
+    w = np.sin(0.5 * np.pi * v * v).astype(np.float32)
+    w.setflags(write=False)
+    return w
+
+
+@functools.cache
+def imdct_matrix(n: int, dtype=np.float32) -> np.ndarray:
+    """IMDCT as a dense [n/2, n] matrix: y[j] = sum_k X[k] * M[k, j].
+
+    M[k, j] = cos(pi/(2n) * (2k+1) * (2j+1+n/2)) — the exact Vorbis IMDCT
+    (spec 4.3.1 references the MDCT of the multirate filter-bank paper; the
+    reference implements it as stb's fused butterfly schedule,
+    src/imdct.rs:291-659). On TPU this matmul form runs on the MXU.
+    """
+    k = np.arange(n // 2, dtype=np.float64)
+    j = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi / (2 * n) * np.outer(2 * k + 1, 2 * j + 1 + n // 2))
+    m = np.ascontiguousarray(m, dtype=dtype)
+    m.setflags(write=False)
+    return m
+
+
+def _bark(x: np.ndarray) -> np.ndarray:
+    return (
+        13.1 * np.arctan(0.00074 * x)
+        + 2.24 * np.arctan(1.85e-8 * x * x)
+        + 0.0001 * x
+    )
+
+
+@functools.cache
+def bark_cos_omega(n2: int, rate: int, bark_map_size: int) -> np.ndarray:
+    """cos(pi*map[i]/bark_map_size) for floor0, i in [0, n2).
+
+    map[i] = min(bark_map_size-1, floor(bark(rate/(2*n2) * i)
+                                        * bark_map_size / bark(rate/2)))
+    (spec 6.2.2; ref lewton src/header_cached.rs:142-158 — like the
+    reference we omit the virtual trailing -1 element).
+    """
+    # Arithmetic deliberately in float32: `floor()` sits on integer
+    # boundaries, and an f64-computed bark could flip a map bin vs the
+    # f32-computing reference decoders, changing the curve materially.
+    i = np.arange(n2, dtype=np.float32)
+    hfl = np.float32(rate) / np.float32(2.0)
+    hfl_dn = hfl / np.float32(n2)
+    scale = np.float32(bark_map_size) / _bark(hfl)
+    foobar = np.floor(_bark(i * hfl_dn) * scale)
+    map_elem = np.minimum(foobar, np.float32(bark_map_size - 1))
+    res = np.cos(map_elem * (np.float32(np.pi) / np.float32(bark_map_size)))
+    res = res.astype(np.float32)
+    res.setflags(write=False)
+    return res

@@ -1,0 +1,62 @@
+"""OggStreamReader behavior: skip, seek, absgp bookkeeping."""
+
+import os
+
+import numpy as np
+
+from lewton_tpu.inside_ogg import OggStreamReader
+
+
+def test_skip_samples_linear(corpus_dir):
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    golden = np.load(os.path.join(corpus_dir, "stereo_44k_q3.golden.npy"))
+
+    to_skip = 30000
+    r = OggStreamReader(path)
+    pck, leftover = r.skip_samples_linear(to_skip, fmt="planar_i16")
+    assert pck is not None
+    # skipping consumed (to_skip - leftover) samples; the returned packet
+    # starts at that stream position
+    start = to_skip - leftover
+    n = pck.shape[1]
+    want = golden[start : start + n].T
+    d = np.abs(pck.astype(np.int32) - want.astype(np.int32))
+    assert d.max() <= 2
+
+
+def test_skip_past_end(corpus_dir):
+    r = OggStreamReader(os.path.join(corpus_dir, "tiny_44k.ogg"))
+    pck, leftover = r.skip_samples_linear(10_000_000)
+    assert pck is None
+    assert leftover > 0
+
+
+def test_seek_absgp_pg(corpus_dir):
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    golden = np.load(os.path.join(corpus_dir, "stereo_44k_q3.golden.npy"))
+    r = OggStreamReader(path)
+    target = 66150
+    r.seek_absgp_pg(target)
+    # decode to the end; the decoded region must cover [~target, end] —
+    # page granularity means decode resumes at the last page boundary
+    # before the target (plus one priming packet)
+    chunks = []
+    while (p := r.read_dec_packet()) is not None:
+        chunks.append(p)
+    out = np.concatenate(chunks, axis=1)
+    total = 132300
+    # resumed at or before the target's page (priming costs <= 1 packet)
+    assert out.shape[1] >= total - target - 4096
+    # PCM aligned at stream end matches the golden
+    want = golden[total - out.shape[1] :].T
+    d = np.abs(out.astype(np.int32) - want.astype(np.int32))
+    assert d.max() <= 2
+
+
+def test_get_last_absgp_progresses(corpus_dir):
+    r = OggStreamReader(os.path.join(corpus_dir, "stereo_44k_q3.ogg"))
+    seen = []
+    while (p := r.read_dec_packet()) is not None:
+        seen.append(r.get_last_absgp())
+    assert seen[-1] == 132300
+    assert all(b >= a for a, b in zip(seen, seen[1:]))
