@@ -58,6 +58,7 @@ class PacketPlan:
     """Dense device-ready outputs of the host entropy half for one packet."""
 
     mode_blockflag: int
+    mode_number: int
     n: int  # current blocksize
     prev_window_flag: bool
     next_window_flag: bool
@@ -106,7 +107,7 @@ def _packet_begin(ident: IdentHeader, setup: SetupHeader, cur: BitCursor):
         next_flag = cur.read_bit_flag()
     else:
         prev_flag = next_flag = True
-    return mode, n, prev_flag, next_flag
+    return mode, mode_number, n, prev_flag, next_flag
 
 
 def decode_packet_entropy(
@@ -115,7 +116,9 @@ def decode_packet_entropy(
     """Host half: everything bit-serial, producing dense tensors."""
     cur = BitCursor(packet)
     try:
-        mode, n, prev_flag, next_flag = _packet_begin(ident, setup, cur)
+        mode, mode_number, n, prev_flag, next_flag = _packet_begin(
+            ident, setup, cur
+        )
     except EndOfPacket as e:
         raise AudioBadFormat(f"truncated packet start: {e}") from e
     mapping = setup.mappings[mode.mapping]
@@ -157,7 +160,8 @@ def decode_packet_entropy(
 
     coupling = list(zip(mapping.coupling_magnitude, mapping.coupling_angle))
     return PacketPlan(
-        mode.blockflag, n, prev_flag, next_flag, floors, residue, coupling
+        mode.blockflag, mode_number, n, prev_flag, next_flag, floors, residue,
+        coupling,
     )
 
 
@@ -252,7 +256,7 @@ def get_decoded_sample_count(
     (ref: lewton src/audio.rs:874-908)."""
     cur = BitCursor(packet)
     try:
-        mode, n, prev_flag, next_flag = _packet_begin(ident, setup, cur)
+        mode, _, n, prev_flag, next_flag = _packet_begin(ident, setup, cur)
     except EndOfPacket as e:
         raise AudioBadFormat(f"truncated packet start: {e}") from e
     left_start, right_start, _, _ = _window_geometry(

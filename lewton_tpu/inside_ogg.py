@@ -81,6 +81,9 @@ class OggStreamReader:
         # libvorbis truncates — we match libvorbis).
         self.cur_absgp: int | None = 0
         self.backend = backend
+        #: set by read_next_audio_packet when a chained-stream re-init just
+        #: happened; the batch (jax) path uses it to restart its decoder.
+        self._fresh_link = False
 
     # ------------------------------------------------------------------ #
 
@@ -100,8 +103,11 @@ class OggStreamReader:
             if pck.stream_serial == self.stream_serial:
                 return pck
             if pck.first_in_stream:
-                # Chained ogg: re-read headers, reset state, prime pwr with
-                # one discarded audio packet.
+                # Chained ogg: re-read headers, reset state. The first audio
+                # packet of the new link is returned as a normal packet; with
+                # an empty window it decodes to 0 samples, which is exactly
+                # the reference's "prime and discard" behavior
+                # (lewton src/inside_ogg.rs:121-154) without a special path.
                 ident = read_header_ident(pck.data)
                 pck2 = self.rdr.read_packet_expected()
                 comment = read_header_comment(pck2.data)
@@ -112,21 +118,15 @@ class OggStreamReader:
                 self.comment_hdr = comment
                 self.setup_hdr = setup
                 self.stream_serial = pck3.stream_serial
-                self.cur_absgp = None
-                prime = self.rdr.read_packet()
-                if prime is None:
-                    return None
-                self._decode(prime.data)
-                self.cur_absgp = (
-                    prime.page_granule if prime.page_granule is not None else 0
-                )
+                # granule positions restart at 0 in each chain link
+                self.cur_absgp = 0
+                self._fresh_link = True
                 return self.rdr.read_packet()
             # else: ignore packets of unrelated multiplexed streams
 
-    def dec_packet_planar_f32(self, pck: Packet) -> np.ndarray:
-        """Decode with end-of-stream truncation + absgp bookkeeping
+    def _apply_absgp(self, pck: Packet, decoded: np.ndarray) -> np.ndarray:
+        """End-of-stream truncation + absgp bookkeeping on a decoded packet
         (ref: lewton src/inside_ogg.rs:209-229)."""
-        decoded = self._decode(pck.data)
         if self.cur_absgp is not None and pck.last_in_stream:
             target = max(0, (pck.absgp_page or 0) - self.cur_absgp)
             decoded = decoded[:, :target]
@@ -135,6 +135,9 @@ class OggStreamReader:
         elif self.cur_absgp is not None:
             self.cur_absgp += decoded.shape[1]
         return decoded
+
+    def dec_packet_planar_f32(self, pck: Packet) -> np.ndarray:
+        return self._apply_absgp(pck, self._decode(pck.data))
 
     def read_dec_packet_generic(self, fmt: str = "planar_i16") -> np.ndarray | None:
         pck = self.read_next_audio_packet()
@@ -150,9 +153,60 @@ class OggStreamReader:
         """Interleaved i16 [n*ch] (ref: read_dec_packet_itl)."""
         return self.read_dec_packet_generic("interleaved_i16")
 
+    def read_all_planar_f32(self) -> np.ndarray:
+        """Decode the whole stream to planar f32 [ch, samples].
+
+        With ``backend="jax"`` the numeric half runs as the batched device
+        pipeline (host entropy decode -> chunked `decode_frames`); the
+        ``"numpy"`` backend decodes packet by packet.
+        """
+        if self.backend == "jax":
+            return self._read_all_jax()
+        chunks = []
+        while (pck := self.read_next_audio_packet()) is not None:
+            chunks.append(self.dec_packet_planar_f32(pck))
+        if not chunks:
+            return np.zeros((self.ident_hdr.channels, 0), np.float32)
+        return np.concatenate(chunks, axis=1)
+
+    def _read_all_jax(self) -> np.ndarray:
+        from .models.decoder import StreamDecoder
+
+        outs: list[np.ndarray] = []
+        dec = StreamDecoder(self.ident_hdr, self.setup_hdr)
+        buf: list[Packet] = []
+
+        def flush(d):
+            if not buf:
+                return
+            for pck, pcm in zip(buf, d.decode_packets([p.data for p in buf])):
+                outs.append(self._apply_absgp(pck, pcm))
+            buf.clear()
+
+        while (pck := self.read_next_audio_packet()) is not None:
+            if self._fresh_link:
+                flush(dec)
+                dec = StreamDecoder(self.ident_hdr, self.setup_hdr)
+                self._fresh_link = False
+            buf.append(pck)
+        flush(dec)
+        if not outs:
+            return np.zeros((self.ident_hdr.channels, 0), np.float32)
+        # channel count can change across chain links; pad like the planar
+        # concat would fail otherwise (reference emits per-packet, we concat)
+        ch = max(o.shape[0] for o in outs)
+        outs = [
+            o if o.shape[0] == ch
+            else np.pad(o, [(0, ch - o.shape[0]), (0, 0)])
+            for o in outs
+        ]
+        return np.concatenate(outs, axis=1)
+
     def read_all_i16(self) -> np.ndarray:
         """Convenience: decode the whole stream to interleaved i16
         [samples, channels] (constant channel count assumed)."""
+        if self.backend == "jax":
+            return samples_mod.to_i16(self.read_all_planar_f32()).T
         chunks = []
         while (p := self.read_dec_packet_itl()) is not None:
             chunks.append(p)

@@ -1,0 +1,326 @@
+"""The TPU decode model: compiled stream setup + batched device pipeline.
+
+Architecture (SURVEY.md section 7): the host entropy front-end
+(`decode_packet_entropy`) turns each audio packet into small dense tensors;
+this module stacks them into fixed-shape *frames*, and a single jitted
+function runs the whole numeric half for a chunk of T packets:
+
+    floor curves -> inverse coupling -> floor x residue -> IMDCT (MXU)
+    -> windowing / overlap-add (lax.scan over packet time)
+
+Everything data-dependent (mode, blockflag, floor posts, coupling steps) is
+turned into gathers over per-setup constant tables, so one compilation
+serves the stream's lifetime; chunk shapes are fixed so there is exactly one
+compile per (setup-geometry, chunk length).
+
+ref parity: lewton src/audio.rs:919-1173 (read_audio_packet_generic), redesigned
+batch-first for TPU rather than translated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import PacketPlan, decode_packet_entropy
+from ..header import Floor0, Floor1, IdentHeader, SetupHeader
+from ..ops.coupling import inverse_coupling_batch
+from ..ops.floor_curve import BIG_X, floor0_curve_batch, floor1_curve_batch
+from ..ops.imdct import imdct_batch
+from ..ops.windowing import init_window_carry, overlap_add_scan
+from ..tables import (
+    bark_cos_omega,
+    floor1_inverse_db_table,
+    imdct_matrix,
+    window_slope,
+)
+
+__all__ = ["CompiledSetup", "compile_setup", "StreamDecoder", "decode_frames"]
+
+DEFAULT_CHUNK = 64
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class CompiledSetup:
+    """Per-stream constant tables, stacked over (mode, channel) so the device
+    pipeline is a pure gather machine. Leaves are device arrays; aux fields
+    are python ints (static under jit)."""
+
+    # static geometry
+    channels: int
+    n0: int
+    n1: int
+    sample_rate: int
+    max_posts: int  # P
+    f0_order_max: int  # Omax (0 if no floor0 used)
+    has_floor0: bool
+    has_floor1: bool
+    # stacked tables (leaves)
+    mode_blockflag: jnp.ndarray  # i32 [M]
+    f_is_floor1: jnp.ndarray  # bool [M, C]
+    f1_xs: jnp.ndarray  # i32 [M, C, P] sorted x positions (pad BIG_X)
+    f1_mult: jnp.ndarray  # i32 [M, C]
+    f0_order: jnp.ndarray  # i32 [M, C]
+    f0_lfv_scale: jnp.ndarray  # f32 [M, C]
+    f0_amp_offset: jnp.ndarray  # f32 [M, C]
+    f0_cos_omega: jnp.ndarray  # f32 [M, C, W]
+    coup_mag: jnp.ndarray  # i32 [M, S]
+    coup_ang: jnp.ndarray  # i32 [M, S]
+    coup_n: jnp.ndarray  # i32 [M]
+    slope0: jnp.ndarray  # f32 [W] (zero past n0/2)
+    slope1: jnp.ndarray  # f32 [W]
+    imdct_m0: jnp.ndarray  # f32 [n0/2, n0]
+    imdct_m1: jnp.ndarray  # f32 [n1/2, n1]
+    inverse_db: jnp.ndarray  # f32 [256]
+
+    _leaf_names = (
+        "mode_blockflag", "f_is_floor1", "f1_xs", "f1_mult", "f0_order",
+        "f0_lfv_scale", "f0_amp_offset", "f0_cos_omega", "coup_mag",
+        "coup_ang", "coup_n", "slope0", "slope1", "imdct_m0", "imdct_m1",
+        "inverse_db",
+    )
+    _static_names = (
+        "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
+        "has_floor0", "has_floor1",
+    )
+
+    def tree_flatten(self):
+        leaves = tuple(getattr(self, k) for k in self._leaf_names)
+        static = tuple(getattr(self, k) for k in self._static_names)
+        return leaves, static
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*static, *leaves)
+
+
+def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
+    """Compile the decoded setup header into stacked device tables."""
+    C = ident.channels
+    n0, n1 = ident.bs0, ident.bs1
+    W = n1 // 2
+    M = len(setup.modes)
+
+    # floor object per (mode, channel)
+    floors = [
+        [
+            setup.floors[
+                setup.mappings[m.mapping].submap_floor[
+                    setup.mappings[m.mapping].mux[c]
+                ]
+            ]
+            for c in range(C)
+        ]
+        for m in setup.modes
+    ]
+    f1s = [f for row in floors for f in row if isinstance(f, Floor1)]
+    f0s = [f for row in floors for f in row if isinstance(f, Floor0)]
+    P = max((len(f.x_list) for f in f1s), default=2)
+    Omax = max((f.order for f in f0s), default=0)
+    Smax = max(
+        (len(setup.mappings[m.mapping].coupling_magnitude) for m in setup.modes),
+        default=0,
+    )
+
+    f_is_floor1 = np.zeros((M, C), dtype=bool)
+    f1_xs = np.full((M, C, P), int(BIG_X), dtype=np.int32)
+    f1_mult = np.ones((M, C), dtype=np.int32)
+    f0_order = np.zeros((M, C), dtype=np.int32)
+    f0_lfv_scale = np.zeros((M, C), dtype=np.float32)
+    f0_amp_offset = np.zeros((M, C), dtype=np.float32)
+    f0_cos_omega = np.zeros((M, C, W), dtype=np.float32)
+    coup_mag = np.zeros((M, Smax), dtype=np.int32)
+    coup_ang = np.zeros((M, Smax), dtype=np.int32)
+    coup_n = np.zeros((M,), dtype=np.int32)
+
+    for mi, mode in enumerate(setup.modes):
+        mapping = setup.mappings[mode.mapping]
+        ns = len(mapping.coupling_magnitude)
+        coup_n[mi] = ns
+        coup_mag[mi, :ns] = mapping.coupling_magnitude
+        coup_ang[mi, :ns] = mapping.coupling_angle
+        n2 = (n1 if mode.blockflag else n0) // 2
+        for c in range(C):
+            fl = floors[mi][c]
+            if isinstance(fl, Floor1):
+                f_is_floor1[mi, c] = True
+                xs = np.asarray(fl.x_list, dtype=np.int32)[fl.sort_order]
+                f1_xs[mi, c, : len(xs)] = xs
+                f1_mult[mi, c] = fl.multiplier
+            else:
+                f0_order[mi, c] = fl.order
+                f0_lfv_scale[mi, c] = np.float32(fl.amplitude_offset) / np.float32(
+                    (1 << fl.amplitude_bits) - 1
+                )
+                f0_amp_offset[mi, c] = fl.amplitude_offset
+                f0_cos_omega[mi, c, :n2] = bark_cos_omega(
+                    n2, fl.rate, fl.bark_map_size
+                )
+
+    slope0 = np.zeros(W, dtype=np.float32)
+    slope0[: n0 // 2] = window_slope(n0 // 2)
+    slope1 = window_slope(n1 // 2)
+
+    dev = jnp.asarray
+    return CompiledSetup(
+        channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
+        max_posts=P, f0_order_max=Omax,
+        has_floor0=bool(f0s), has_floor1=bool(f1s),
+        mode_blockflag=dev(
+            np.array([m.blockflag for m in setup.modes], dtype=np.int32)
+        ),
+        f_is_floor1=dev(f_is_floor1),
+        f1_xs=dev(f1_xs), f1_mult=dev(f1_mult),
+        f0_order=dev(f0_order), f0_lfv_scale=dev(f0_lfv_scale),
+        f0_amp_offset=dev(f0_amp_offset), f0_cos_omega=dev(f0_cos_omega),
+        coup_mag=dev(coup_mag), coup_ang=dev(coup_ang), coup_n=dev(coup_n),
+        slope0=dev(slope0), slope1=dev(slope1),
+        imdct_m0=dev(imdct_matrix(n0, dtype=np.float32)),
+        imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)),
+        inverse_db=dev(floor1_inverse_db_table().astype(np.float32)),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Frame packing (host): PacketPlan list -> fixed-shape arrays
+# --------------------------------------------------------------------------- #
+
+
+def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
+    """Stack T<=chunk packet plans into padded dense arrays (numpy)."""
+    T = chunk
+    C, W, P, Omax = cs.channels, cs.n1 // 2, cs.max_posts, cs.f0_order_max
+    fr = {
+        "mode": np.zeros(T, np.int32),
+        "prev_flag": np.zeros(T, bool),
+        "next_flag": np.zeros(T, bool),
+        "valid": np.zeros(T, bool),
+        "residue": np.zeros((T, C, W), np.float32),
+        "f_used": np.zeros((T, C), bool),
+        "f1_ys": np.zeros((T, C, P), np.int32),
+        "f1_flags": np.zeros((T, C, P), bool),
+        "f0_cosc": np.zeros((T, C, max(Omax, 1)), np.float32),
+        "f0_amp": np.zeros((T, C), np.int32),
+    }
+    for t, plan in enumerate(plans):
+        fr["mode"][t] = plan.mode_number
+        fr["prev_flag"][t] = plan.prev_window_flag
+        fr["next_flag"][t] = plan.next_window_flag
+        fr["valid"][t] = True
+        fr["residue"][t, :, : plan.n // 2] = plan.residue
+        for c, f in enumerate(plan.floors):
+            if f[0] == "unused":
+                continue
+            fr["f_used"][t, c] = True
+            if f[0] == "f1":
+                df = f[1]
+                so = df.floor.sort_order
+                nv = len(so)
+                fr["f1_ys"][t, c, :nv] = np.asarray(df.final_y)[so]
+                fr["f1_flags"][t, c, :nv] = np.asarray(df.step2_flag)[so]
+            else:
+                df = f[1]
+                fr["f0_cosc"][t, c, : len(df.cos_coefficients)] = df.cos_coefficients
+                fr["f0_amp"][t, c] = df.amplitude
+    return fr
+
+
+# --------------------------------------------------------------------------- #
+# The jitted device pipeline
+# --------------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("with_i16",))
+def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
+    """Decode one chunk of T packets for one stream.
+
+    Returns ((out [T, C, n1] f32, out_len [T] i32, [opt] out_i16), new_carry).
+    """
+    mode = fr["mode"]
+    bf = cs.mode_blockflag[mode]  # i32 [T]
+    W = cs.n1 // 2
+
+    # 1. inverse coupling on raw residue (ref order: coupling before floor
+    #    multiply, src/audio.rs:991-1039)
+    residue = inverse_coupling_batch(
+        fr["residue"], mode, cs.coup_mag, cs.coup_ang, cs.coup_n
+    )
+
+    # 2. floor curves
+    is_f1 = cs.f_is_floor1[mode]  # [T, C]
+    curve = jnp.zeros_like(residue)
+    if cs.has_floor1:
+        c1 = floor1_curve_batch(
+            cs.f1_xs[mode], fr["f1_ys"], fr["f1_flags"], cs.f1_mult[mode],
+            cs.inverse_db, W,
+        )
+        curve = jnp.where(is_f1[:, :, None], c1, curve)
+    if cs.has_floor0:
+        c0 = floor0_curve_batch(
+            fr["f0_cosc"], fr["f0_amp"], cs.f0_order[mode],
+            cs.f0_lfv_scale[mode], cs.f0_amp_offset[mode], cs.f0_cos_omega[mode],
+        )
+        curve = jnp.where(is_f1[:, :, None], curve, c0)
+    curve = jnp.where(fr["f_used"][:, :, None], curve, jnp.float32(0.0))
+
+    # 3. spectra = floor x residue
+    spectra = curve * residue
+
+    # 4. IMDCT on the MXU
+    audio = imdct_batch(spectra, bf, cs.imdct_m0, cs.imdct_m1)
+
+    # 5. window + overlap-add scan
+    (out, out_len), carry = overlap_add_scan(
+        audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+        cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+    )
+    if with_i16:
+        scaled = out * jnp.float32(32768.0)
+        clamped = jnp.clip(scaled, -32768.0, 32767.0)
+        out_i16 = jnp.trunc(clamped).astype(jnp.int16)
+        return (out, out_len, out_i16), carry
+    return (out, out_len), carry
+
+
+# --------------------------------------------------------------------------- #
+# Host-facing stream decoder
+# --------------------------------------------------------------------------- #
+
+
+class StreamDecoder:
+    """Per-stream chunked decode: entropy-decode packets on the host, run the
+    device pipeline in fixed-size chunks, carry window state across chunks."""
+
+    def __init__(self, ident: IdentHeader, setup: SetupHeader,
+                 chunk: int = DEFAULT_CHUNK):
+        self.ident = ident
+        self.setup = setup
+        self.chunk = chunk
+        self.cs = compile_setup(ident, setup)
+        self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
+
+    def reset(self) -> None:
+        self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
+
+    def decode_packets(self, packets: list[bytes]) -> list[np.ndarray]:
+        """Decode audio packets -> list of planar f32 [C, out_len] arrays
+        (one per packet; the first packet of a stream yields length 0)."""
+        plans = [
+            decode_packet_entropy(self.ident, self.setup, p) for p in packets
+        ]
+        outs: list[np.ndarray] = []
+        for i in range(0, len(plans), self.chunk):
+            batch = plans[i : i + self.chunk]
+            fr = pack_frames(self.cs, batch, self.chunk)
+            fr = {k: jnp.asarray(v) for k, v in fr.items()}
+            (out, out_len), self.carry = decode_frames(self.cs, fr, self.carry)
+            out = np.asarray(out)
+            out_len = np.asarray(out_len)
+            for t in range(len(batch)):
+                outs.append(out[t, :, : int(out_len[t])])
+        return outs

@@ -1,0 +1,47 @@
+"""Batched inverse channel coupling (square-polar, Vorbis I spec 4.3.5).
+
+The reference iterates coupling steps in reverse over (magnitude, angle)
+channel pairs (lewton src/audio.rs:762-777, 991-1002). Steps are a static
+per-mode list; packets in a batch may use different modes, so the step's
+channel indices are gathered per packet and applied with masked scatters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["inverse_coupling_batch"]
+
+
+def inverse_coupling_batch(
+    residue: jnp.ndarray,  # f32 [T, C, W]
+    mode: jnp.ndarray,  # i32 [T]
+    coup_mag: jnp.ndarray,  # i32 [M, S] magnitude channel per (mode, step)
+    coup_ang: jnp.ndarray,  # i32 [M, S] angle channel per (mode, step)
+    coup_n: jnp.ndarray,  # i32 [M] number of coupling steps per mode
+) -> jnp.ndarray:
+    T, C, W = residue.shape
+    M, S = coup_mag.shape
+    if S == 0:
+        return residue
+    tidx = jnp.arange(T)
+    n_steps = coup_n[mode]  # [T]
+
+    def body(i, res):
+        s = S - 1 - i  # reverse order
+        active = s < n_steps  # [T]
+        mag = coup_mag[mode, s]  # [T]
+        ang = coup_ang[mode, s]
+        m = res[tidx, mag]  # [T, W]
+        a = res[tidx, ang]
+        mpos = m > 0
+        apos = a > 0
+        new_m = jnp.where(mpos, jnp.where(apos, m, m + a), jnp.where(apos, m, m - a))
+        new_a = jnp.where(mpos, jnp.where(apos, m - a, m), jnp.where(apos, m + a, m))
+        act = active[:, None]
+        res = res.at[tidx, mag].set(jnp.where(act, new_m, m))
+        res = res.at[tidx, ang].set(jnp.where(act, new_a, a))
+        return res
+
+    return jax.lax.fori_loop(0, S, body, residue)

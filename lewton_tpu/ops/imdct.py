@@ -1,0 +1,47 @@
+"""Batched IMDCT on the MXU.
+
+The reference implements stb_vorbis's fused scalar butterfly schedule
+(lewton src/imdct.rs:291-659). That schedule is a CPU artifact; on TPU the
+transform is expressed as a dense cosine-matrix product so the MXU does the
+work and XLA fuses the surrounding elementwise stages:
+
+    audio[.., j] = sum_k spec[.., k] * cos(pi/(2n) * (2k+1) * (2j+1 + n/2))
+
+One [n/2, n] constant matrix per blocksize lives in device memory for the
+stream's lifetime. A mixed-blocksize batch computes both sizes and selects:
+for the common bs0=n1/2 case the short matmul adds only ~25% FLOPs over the
+long one, and both matmuls stay batched/MXU-shaped, which beats bucket
+compaction (dynamic shapes) under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["imdct_batch"]
+
+
+def imdct_batch(
+    spectra: jnp.ndarray,  # f32 [T, C, n1/2] (short packets use first n0/2)
+    blockflag: jnp.ndarray,  # i32 [T]
+    m0: jnp.ndarray,  # f32 [n0/2, n0] IMDCT matrix, short blocks
+    m1: jnp.ndarray,  # f32 [n1/2, n1] IMDCT matrix, long blocks
+) -> jnp.ndarray:
+    """Returns f32 [T, C, n1]; short-block outputs occupy [:, :, :n0]."""
+    n0 = m0.shape[1]
+    n1 = m1.shape[1]
+    long_out = jnp.einsum(
+        "tck,kn->tcn", spectra, m1, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if n0 == n1:
+        return long_out
+    short_out = jnp.einsum(
+        "tck,kn->tcn", spectra[:, :, : n0 // 2], m0,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    pad = [(0, 0), (0, 0), (0, n1 - n0)]
+    short_out = jnp.pad(short_out, pad)
+    return jnp.where((blockflag == 1)[:, None, None], long_out, short_out)
