@@ -1,0 +1,96 @@
+"""Benchmark: aggregate x-realtime Vorbis synthesis throughput per chip.
+
+Measures the steady-state batched device pipeline (floor curves, inverse
+coupling, floor x residue, MXU IMDCT, overlap-add scan, i16 conversion) on
+the flagship configuration: stereo 44.1 kHz, blocksizes 256/2048 — the
+shape libvorbisenc emits at q3, and the one the reference's bench corpus
+(dev/cmp bwv_* files) uses.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+vs_baseline is value / 10,000 — the BASELINE.json north star of >=10,000x
+aggregate realtime per chip. (The reference's own harness publishes only
+ratios vs libvorbis, see BASELINE.md.)
+
+The host entropy front-end is excluded here (it is bit-serial CPU work,
+pipelined in production; see lewton_tpu/native for the C++ front-end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lewton_tpu.models.decoder import compile_setup
+    from lewton_tpu.ops.windowing import init_window_carry
+    from lewton_tpu.parallel.batch import decode_chunk_batch
+    from lewton_tpu.testing import synthetic_frames, synthetic_headers
+
+    S, T = args.streams, args.chunk
+    ident, setup = synthetic_headers(channels=2, bs0_exp=8, bs1_exp=11)
+    cs = compile_setup(ident, setup)
+    fr = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in synthetic_frames(cs, T=T, S=S, seed=3).items()
+    }
+    carry = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (S,) + x.shape),
+        init_window_carry(cs.channels, cs.n1 // 2),
+    )
+
+    # warmup / compile
+    (out, out_len, out_i16), carry2 = decode_chunk_batch(
+        cs, fr, carry, with_i16=True
+    )
+    jax.block_until_ready(out_i16)
+    samples_per_call = int(np.asarray(out_len).sum())  # per-channel samples
+
+    t0 = time.perf_counter()
+    c = carry
+    for _ in range(args.iters):
+        (out, out_len, out_i16), c = decode_chunk_batch(
+            cs, fr, c, with_i16=True
+        )
+    jax.block_until_ready(out_i16)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = samples_per_call * args.iters / ident.sample_rate
+    x_realtime = audio_seconds / dt
+    packets = S * T * args.iters
+    result = {
+        "metric": "aggregate_realtime_synthesis_44k1_stereo",
+        "value": round(x_realtime, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(x_realtime / 10000.0, 3),
+        "detail": {
+            "streams": S,
+            "chunk_packets": T,
+            "iters": args.iters,
+            "wall_s": round(dt, 4),
+            "audio_s": round(audio_seconds, 2),
+            "packets_per_s": round(packets / dt, 1),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,10 +31,10 @@ from ..header import Floor0, Floor1, IdentHeader, SetupHeader
 from ..ops.coupling import inverse_coupling_batch
 from ..ops.floor_curve import BIG_X, floor0_curve_batch, floor1_curve_batch
 from ..ops.imdct import imdct_batch
-from ..ops.windowing import init_window_carry, overlap_add_scan
+from ..ops.windowing import init_window_carry, overlap_add_batch
 from ..tables import (
     bark_cos_omega,
-    floor1_inverse_db_table,
+    floor1_db_exp_constants,
     imdct_matrix,
     window_slope,
 )
@@ -60,6 +60,8 @@ class CompiledSetup:
     f0_order_max: int  # Omax (0 if no floor0 used)
     has_floor0: bool
     has_floor1: bool
+    db_c0: float  # inverse-dB exp constants (tables.floor1_db_exp_constants)
+    db_c1: float
     # stacked tables (leaves)
     mode_blockflag: jnp.ndarray  # i32 [M]
     f_is_floor1: jnp.ndarray  # bool [M, C]
@@ -76,17 +78,15 @@ class CompiledSetup:
     slope1: jnp.ndarray  # f32 [W]
     imdct_m0: jnp.ndarray  # f32 [n0/2, n0]
     imdct_m1: jnp.ndarray  # f32 [n1/2, n1]
-    inverse_db: jnp.ndarray  # f32 [256]
 
     _leaf_names = (
         "mode_blockflag", "f_is_floor1", "f1_xs", "f1_mult", "f0_order",
         "f0_lfv_scale", "f0_amp_offset", "f0_cos_omega", "coup_mag",
         "coup_ang", "coup_n", "slope0", "slope1", "imdct_m0", "imdct_m1",
-        "inverse_db",
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
-        "has_floor0", "has_floor1",
+        "has_floor0", "has_floor1", "db_c0", "db_c1",
     )
 
     def tree_flatten(self):
@@ -166,11 +166,13 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     slope0[: n0 // 2] = window_slope(n0 // 2)
     slope1 = window_slope(n1 // 2)
 
+    db_c0, db_c1 = floor1_db_exp_constants()
     dev = jnp.asarray
     return CompiledSetup(
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
         has_floor0=bool(f0s), has_floor1=bool(f1s),
+        db_c0=db_c0, db_c1=db_c1,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
         ),
@@ -182,7 +184,6 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         slope0=dev(slope0), slope1=dev(slope1),
         imdct_m0=dev(imdct_matrix(n0, dtype=np.float32)),
         imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)),
-        inverse_db=dev(floor1_inverse_db_table().astype(np.float32)),
     )
 
 
@@ -235,11 +236,27 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
 # --------------------------------------------------------------------------- #
 
 
-@partial(jax.jit, static_argnames=("with_i16",))
-def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
-    """Decode one chunk of T packets for one stream.
+def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+    """Gather stacked per-mode tables by packet mode as a one-hot
+    contraction — TPU gathers over wide outputs are ~10x slower than this
+    einsum for the handful of modes Vorbis allows. Exact for ints < 2^24."""
+    m = table.shape[0]
+    oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    res = jnp.einsum("tm,m...->t...", oh, table.astype(jnp.float32))
+    if table.dtype == jnp.bool_:
+        return res > 0.5
+    return res.astype(table.dtype)
+
+
+def decode_frames_core(
+    cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
+    imdct=imdct_batch,
+):
+    """Decode one chunk of T packets for one stream (untraced core).
 
     Returns ((out [T, C, n1] f32, out_len [T] i32, [opt] out_i16), new_carry).
+    `imdct` is injectable so the tensor-parallel path can substitute a
+    collective-based transform (see lewton_tpu.parallel.batch).
     """
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
@@ -256,14 +273,15 @@ def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
     curve = jnp.zeros_like(residue)
     if cs.has_floor1:
         c1 = floor1_curve_batch(
-            cs.f1_xs[mode], fr["f1_ys"], fr["f1_flags"], cs.f1_mult[mode],
-            cs.inverse_db, W,
+            _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
+            cs.f1_mult[mode], cs.db_c0, cs.db_c1, W,
         )
         curve = jnp.where(is_f1[:, :, None], c1, curve)
     if cs.has_floor0:
         c0 = floor0_curve_batch(
             fr["f0_cosc"], fr["f0_amp"], cs.f0_order[mode],
-            cs.f0_lfv_scale[mode], cs.f0_amp_offset[mode], cs.f0_cos_omega[mode],
+            cs.f0_lfv_scale[mode], cs.f0_amp_offset[mode],
+            _by_mode(cs.f0_cos_omega, mode),
         )
         curve = jnp.where(is_f1[:, :, None], curve, c0)
     curve = jnp.where(fr["f_used"][:, :, None], curve, jnp.float32(0.0))
@@ -272,10 +290,11 @@ def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
     spectra = curve * residue
 
     # 4. IMDCT on the MXU
-    audio = imdct_batch(spectra, bf, cs.imdct_m0, cs.imdct_m1)
+    audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
 
-    # 5. window + overlap-add scan
-    (out, out_len), carry = overlap_add_scan(
+    # 5. window + overlap-add (parallel over packet time; the carry is a
+    #    one-packet shift, not an accumulation)
+    (out, out_len), carry = overlap_add_batch(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
     )
@@ -285,6 +304,12 @@ def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
         out_i16 = jnp.trunc(clamped).astype(jnp.int16)
         return (out, out_len, out_i16), carry
     return (out, out_len), carry
+
+
+@partial(jax.jit, static_argnames=("with_i16",))
+def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
+    """Jitted single-stream chunk decode (see decode_frames_core)."""
+    return decode_frames_core(cs, fr, carry, with_i16)
 
 
 # --------------------------------------------------------------------------- #

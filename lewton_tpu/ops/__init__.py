@@ -8,4 +8,4 @@ packets (and, one level up, over streams). The host entropy front-end
 from .floor_curve import floor0_curve_batch, floor1_curve_batch  # noqa: F401
 from .coupling import inverse_coupling_batch  # noqa: F401
 from .imdct import imdct_batch  # noqa: F401
-from .windowing import overlap_add_scan  # noqa: F401
+from .windowing import overlap_add_batch  # noqa: F401

@@ -25,23 +25,28 @@ def inverse_coupling_batch(
     M, S = coup_mag.shape
     if S == 0:
         return residue
-    tidx = jnp.arange(T)
     n_steps = coup_n[mode]  # [T]
+    cidx = jnp.arange(C, dtype=jnp.int32)
 
     def body(i, res):
         s = S - 1 - i  # reverse order
         active = s < n_steps  # [T]
         mag = coup_mag[mode, s]  # [T]
         ang = coup_ang[mode, s]
-        m = res[tidx, mag]  # [T, W]
-        a = res[tidx, ang]
+        # one-hot channel select/scatter: TPU-friendly (no row gathers)
+        oh_m = (mag[:, None] == cidx).astype(res.dtype)  # [T, C]
+        oh_a = (ang[:, None] == cidx).astype(res.dtype)
+        m = jnp.einsum("tc,tcw->tw", oh_m, res)
+        a = jnp.einsum("tc,tcw->tw", oh_a, res)
         mpos = m > 0
         apos = a > 0
         new_m = jnp.where(mpos, jnp.where(apos, m, m + a), jnp.where(apos, m, m - a))
         new_a = jnp.where(mpos, jnp.where(apos, m - a, m), jnp.where(apos, m + a, m))
-        act = active[:, None]
-        res = res.at[tidx, mag].set(jnp.where(act, new_m, m))
-        res = res.at[tidx, ang].set(jnp.where(act, new_a, a))
+        act = active[:, None, None]
+        is_m = (mag[:, None] == cidx)[:, :, None] & act  # [T, C, 1]
+        is_a = (ang[:, None] == cidx)[:, :, None] & act
+        res = jnp.where(is_m, new_m[:, None, :], res)
+        res = jnp.where(is_a, new_a[:, None, :], res)
         return res
 
     return jax.lax.fori_loop(0, S, body, residue)

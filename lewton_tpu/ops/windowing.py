@@ -1,18 +1,20 @@
-"""Windowing and overlap-add as a `lax.scan` over packet time.
+"""Windowing and overlap-add — fully parallel over packet time.
 
-The only inter-packet dependency in Vorbis decode is the 50% lapped window:
-each packet returns [left_start, right_start) of its block overlapped with
-the previous block's unwindowed right half, and saves its own right region
-[right_start, right_end) as the next packet's carry
-(ref: lewton src/audio.rs:1056-1154, PreviousWindowRight :848-861).
+The reference carries the previous block's unwindowed right half packet to
+packet (`PreviousWindowRight`, lewton src/audio.rs:848-861, 1082-1154),
+which looks like a sequential dependency. It is not an accumulation: the
+carry for packet t is a *pure function of packet t-1's IMDCT output*, so
+the whole chunk overlap-add is a shift, not a scan:
 
-All geometry is data-dependent on (blockflag, prev_flag, next_flag), so the
-step works on padded [C, n1] tensors with iota-based gathers; XLA compiles
-this to elementwise selects + dynamic gathers, no host sync.
+    pwr[t]  = right_region(audio[t-1])            (parallel slice + select)
+    out[t]  = left_region(audio[t]) * lhs + pwr[t] * rhs
 
-The first packet of a stream primes the carry and emits 0 samples
-(ref src/audio.rs:1140-1152); `valid=False` steps (batch padding) leave the
-carry untouched and emit 0 samples.
+All geometry (blockflag, prev/next window flag) selects between a handful
+of *static* slices of the padded [C, n1] block — no dynamic gathers, no
+lax.scan: XLA fuses the chunk into one elementwise pass. The first packet
+of a stream emits 0 samples (ref src/audio.rs:1140-1152); invalid
+(batch-padding) slots emit 0 and pass the carry through unchanged
+(padding is always a suffix of the chunk).
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["overlap_add_scan", "init_window_carry"]
+__all__ = ["overlap_add_batch", "init_window_carry"]
 
 
 def init_window_carry(channels: int, w: int):
@@ -32,12 +34,12 @@ def init_window_carry(channels: int, w: int):
     )
 
 
-def overlap_add_scan(
+def overlap_add_batch(
     audio: jnp.ndarray,  # f32 [T, C, n1] IMDCT output (short blocks in [:n0])
     blockflag: jnp.ndarray,  # i32 [T]
     prev_flag: jnp.ndarray,  # bool [T]
     next_flag: jnp.ndarray,  # bool [T]
-    valid: jnp.ndarray,  # bool [T] (False for batch-padding slots)
+    valid: jnp.ndarray,  # bool [T] (False only as a chunk suffix)
     slope0: jnp.ndarray,  # f32 [W] window slope for bs0 (zero-padded past n0/2)
     slope1: jnp.ndarray,  # f32 [W] window slope for bs1
     n0: int,
@@ -45,49 +47,70 @@ def overlap_add_scan(
     carry,
 ):
     """Returns ((out [T, C, n1] f32, out_len [T] i32), new_carry)."""
+    T, C, _ = audio.shape
     W = n1 // 2
-    C = audio.shape[1]
+    pwr0, plen0, started0 = carry
+    long_blk = blockflag == 1  # [T]
+
+    # ---- right region -> next packet's pwr (parallel) ----
+    # short: [n0/2, n0); long & next: [n1/2, n1); long & !next: the short
+    # window centered in the long block, [(3n1-n0)/4, (3n1+n0)/4).
+    def pad_w(x):  # [T, C, k] -> [T, C, W]
+        return jnp.pad(x, [(0, 0), (0, 0), (0, W - x.shape[2])])
+
+    pwr_short = pad_w(audio[:, :, n0 // 2 : n0])
+    pwr_long = audio[:, :, W:]
+    pwr_lsn = pad_w(audio[:, :, (3 * n1 - n0) // 4 : (3 * n1 + n0) // 4])
+    sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)[:, None, None]
+    new_pwr = jnp.where(sel == 0, pwr_long,
+                        jnp.where(sel == 1, pwr_lsn, pwr_short))
+    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
+                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+
+    # ---- shift: packet t consumes packet t-1's right region ----
+    pwr_seq = jnp.concatenate([pwr0[None], new_pwr[:-1]], axis=0)
+    plen_seq = jnp.concatenate([plen0[None], new_plen[:-1]], axis=0)
+    # started[t]: any valid packet strictly before t (or carried in)
+    before = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    started_seq = started0 | (before > 0)
+
+    # ---- left region + overlap-add (parallel) ----
     iota_n = jnp.arange(n1, dtype=jnp.int32)
-    iota_w = jnp.arange(W, dtype=jnp.int32)
+    # current block shifted so its left region starts at 0:
+    # only long & !prev has a nonzero left_start of (n1-n0)/4
+    a_lsp = jnp.pad(audio[:, :, (n1 - n0) // 4 :],
+                    [(0, 0), (0, 0), (0, (n1 - n0) // 4)])
+    a_shift = jnp.where((long_blk & ~prev_flag)[:, None, None], a_lsp, audio)
+    # lhs slope: long & prev -> slope1, else slope0 (ref window geometry)
+    use_s1 = (long_blk & prev_flag)[:, None]
+    lhs_w = jnp.where(use_s1, slope1[None, :], slope0[None, :])  # [T, W]
+    # rhs = lhs reversed over the *previous* right length; plen is n0/2 or W
+    rev0 = jnp.concatenate([slope0[: n0 // 2][::-1],
+                            jnp.zeros(W - n0 // 2, slope0.dtype)])
+    rev1 = slope1[::-1]
+    rhs_w = jnp.where((plen_seq == W)[:, None], rev1[None, :], rev0[None, :])
+    lhs_n = jnp.pad(lhs_w, [(0, 0), (0, n1 - W)])[:, None, :]  # [T, 1, n1]
+    rhs_n = jnp.pad(rhs_w, [(0, 0), (0, n1 - W)])[:, None, :]
+    pwr_n = jnp.pad(pwr_seq, [(0, 0), (0, 0), (0, n1 - W)])
 
-    def step(carry, xs):
-        pwr, plen, started = carry
-        a, bf, pf, nf, val = xs
-        long_blk = bf == 1
-        # Window geometry (spec 4.3.1; ref src/audio.rs:1056-1073)
-        n = jnp.where(long_blk, n1, n0)
-        left_start = jnp.where(long_blk & ~pf, (n1 - n0) >> 2, 0)
-        right_start = jnp.where(long_blk & ~nf, (3 * n1 - n0) >> 2, n >> 1)
-        right_end = jnp.where(long_blk & ~nf, (3 * n1 + n0) >> 2, n)
-        left_use_bs1 = long_blk & pf
-        lhs = jnp.where(left_use_bs1, slope1, slope0)  # [W]
+    overlap_len = jnp.minimum(plen_seq, jnp.where(use_s1[:, 0], W, n0 // 2))
+    in_ov = (iota_n[None, :] < overlap_len[:, None])[:, None, :]
+    mixed = jnp.where(in_ov, a_shift * lhs_n + pwr_n * rhs_n, a_shift)
 
-        out_len = jnp.where(val & started, right_start - left_start, 0)
-        plen_eff = jnp.minimum(plen, W)
-        # rhs is the lhs slope reversed over the overlap region
-        rhs = lhs[jnp.clip(plen_eff - 1 - iota_n, 0, W - 1)]  # [n1]
-        lhs_n = lhs[jnp.clip(iota_n, 0, W - 1)]
-        a_shift = jnp.take(a, jnp.clip(left_start + iota_n, 0, n1 - 1), axis=1)
-        pwr_n = jnp.take(
-            pwr, jnp.clip(iota_n, 0, W - 1), axis=1
-        )  # [C, n1] (junk past W, masked below)
-        in_overlap = iota_n < plen_eff
-        mixed = jnp.where(
-            in_overlap[None, :], a_shift * lhs_n[None, :] + pwr_n * rhs[None, :],
-            a_shift,
-        )
-        out = jnp.where(iota_n[None, :] < out_len, mixed, jnp.float32(0.0))
+    right_start = jnp.where(long_blk & ~next_flag, (3 * n1 - n0) >> 2,
+                            jnp.where(long_blk, W, n0 >> 1))
+    left_start = jnp.where(long_blk & ~prev_flag, (n1 - n0) >> 2, 0)
+    out_len = jnp.where(valid & started_seq, right_start - left_start, 0)
+    out = jnp.where(iota_n[None, None, :] < out_len[:, None, None], mixed,
+                    jnp.float32(0.0))
 
-        # Save the unwindowed right region as the next carry
-        new_plen = right_end - right_start
-        new_pwr = jnp.take(a, jnp.clip(right_start + iota_w, 0, n1 - 1), axis=1)
-        new_pwr = jnp.where(iota_w[None, :] < new_plen, new_pwr, jnp.float32(0.0))
-        pwr = jnp.where(val, new_pwr, pwr)
-        plen = jnp.where(val, new_plen, plen)
-        started = started | val
-        return (pwr, plen, started), (out, out_len)
-
-    new_carry, (out, out_len) = jax.lax.scan(
-        step, carry, (audio, blockflag, prev_flag, next_flag, valid)
-    )
-    return (out, out_len), new_carry
+    # ---- carry out: state after the last valid packet ----
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    last = jnp.maximum(nvalid - 1, 0)
+    any_valid = nvalid > 0
+    pwr_out = jnp.where(any_valid,
+                        jax.lax.dynamic_index_in_dim(new_pwr, last, 0, False),
+                        pwr0)
+    plen_out = jnp.where(any_valid, new_plen[last], plen0)
+    started_out = started0 | any_valid
+    return (out, out_len), (pwr_out, plen_out, started_out)

@@ -1,0 +1,52 @@
+"""Multi-stream batch + multi-chip sharding tests (8 virtual CPU devices)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lewton_tpu.inside_ogg import OggStreamReader, read_headers
+from lewton_tpu.ogg import PacketReader
+from lewton_tpu.parallel import BatchDecoder, make_mesh
+
+
+def _audio_packets(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    rdr = PacketReader(data)
+    headers, serial = read_headers(rdr)
+    pcks = []
+    while (p := rdr.read_packet()) is not None:
+        if p.stream_serial == serial:
+            pcks.append(p.data)
+    return headers, pcks
+
+
+def test_batch_matches_single(corpus_dir):
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    headers, pcks = _audio_packets(path)
+    dec = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    outs = dec.decode_streams([pcks, pcks, pcks])
+    ref = OggStreamReader(path, backend="jax").read_all_planar_f32()
+    for o in outs:
+        # batch output has no end-of-stream truncation; compare the prefix
+        assert o.shape[1] >= ref.shape[1]
+        np.testing.assert_array_equal(outs[0], o)
+        np.testing.assert_allclose(o[:, : ref.shape[1]], ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_matches_unsharded(corpus_dir, dp, tp):
+    if len(jax.devices()) < dp * tp:
+        pytest.skip("needs 8 virtual devices")
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    headers, pcks = _audio_packets(path)
+    plain = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    mesh = make_mesh(dp, tp)
+    sharded = BatchDecoder(headers.ident, headers.setup, chunk=16, mesh=mesh)
+    streams = [pcks] * 8
+    a = plain.decode_streams(streams)
+    b = sharded.decode_streams(streams)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-6)
