@@ -29,7 +29,15 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--e2e", action="store_true",
+        help="end-to-end: Ogg demux + native entropy + device synthesis "
+        "on a real corpus file, batch of --streams copies",
+    )
     args = ap.parse_args()
+    if args.e2e:
+        bench_e2e(args)
+        return
 
     import jax
 
@@ -90,6 +98,66 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+
+
+def bench_e2e(args) -> None:
+    """Full pipeline on a real file: bytes -> demux -> entropy (C++) ->
+    device synthesis -> PCM, for a batch of identical streams."""
+    import subprocess
+
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lewton_tpu import native
+    from lewton_tpu.inside_ogg import read_headers
+    from lewton_tpu.ogg import PacketReader
+    from lewton_tpu.parallel.batch import BatchDecoder
+    from tools import corpus
+
+    root = "tests/data/corpus"
+    corpus.ensure_corpus(root)
+    path = f"{root}/stereo_44k_q3.ogg"
+    with open(path, "rb") as f:
+        data = f.read()
+    subprocess.run(["make", "-C", "lewton_tpu/native", "-s"], check=True)
+    assert native.available()
+
+    rdr = PacketReader(data)
+    headers, serial = read_headers(rdr)
+    pcks = [p.data for p in native.demux(data)][3:]
+    # extend each stream to ~30 s so per-call overheads amortize (packets
+    # are self-contained; only the window carry crosses them)
+    pcks = pcks * max(1, int(30 / 3))
+    S = args.streams
+    dec = BatchDecoder(
+        headers.ident, headers.setup, chunk=args.chunk,
+        raw_headers=(headers.raw_ident, headers.raw_setup),
+    )
+    # warmup/compile with the same batch geometry as the timed run
+    dec.decode_streams_i16([pcks] * S)
+
+    import time
+
+    t0 = time.perf_counter()
+    outs = dec.decode_streams_i16([pcks] * S)
+    dt = time.perf_counter() - t0
+    total = sum(o.shape[0] for o in outs)
+    audio_seconds = total / headers.ident.sample_rate
+    x_realtime = audio_seconds / dt
+    print(json.dumps({
+        "metric": "e2e_realtime_decode_44k1_stereo",
+        "value": round(x_realtime, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(x_realtime / 10000.0, 3),
+        "detail": {
+            "streams": S, "wall_s": round(dt, 3),
+            "audio_s": round(audio_seconds, 2),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
 
 
 if __name__ == "__main__":

@@ -236,7 +236,7 @@ def read_codebook(cur: BitCursor) -> Codebook:
                 lengths[i] = current_length
             current_entry += number
             current_length += 1
-            if current_length > 32:
+            if current_length > 32 and current_entry < entries:
                 raise BadHeader("ordered codebook length > 32")
     try:
         tree = HuffmanTree(lengths)
@@ -594,3 +594,7 @@ class HeaderSet:
     ident: IdentHeader
     comment: CommentHeader
     setup: SetupHeader
+    #: raw packet bytes (when read via inside_ogg.read_headers) — used to
+    #: initialize the native front-end without re-serializing
+    raw_ident: bytes | None = None
+    raw_setup: bytes | None = None

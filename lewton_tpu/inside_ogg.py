@@ -40,6 +40,7 @@ def read_headers(rdr: PacketReader) -> tuple[HeaderSet, int]:
     pck = rdr.read_packet_expected()
     ident = read_header_ident(pck.data)
     serial = pck.stream_serial
+    raw_ident = pck.data
 
     pck = rdr.read_packet_expected()
     while pck.stream_serial != serial:
@@ -52,7 +53,10 @@ def read_headers(rdr: PacketReader) -> tuple[HeaderSet, int]:
     setup = read_header_setup(pck.data, ident)
 
     rdr.delete_unread_packets()
-    return HeaderSet(ident, comment, setup), serial
+    hs = HeaderSet(ident, comment, setup)
+    hs.raw_ident = raw_ident
+    hs.raw_setup = pck.data
+    return hs, serial
 
 
 class OggStreamReader:
@@ -72,6 +76,7 @@ class OggStreamReader:
         self.ident_hdr = headers.ident
         self.comment_hdr = headers.comment
         self.setup_hdr = headers.setup
+        self._raw_headers = (headers.raw_ident, headers.raw_setup)
         self.stream_serial = serial
         self.pwr = PreviousWindowRight()
         # Deliberate improvement over the reference: start granule tracking
@@ -117,6 +122,7 @@ class OggStreamReader:
                 self.ident_hdr = ident
                 self.comment_hdr = comment
                 self.setup_hdr = setup
+                self._raw_headers = (pck.data, pck3.data)
                 self.stream_serial = pck3.stream_serial
                 # granule positions restart at 0 in each chain link
                 self.cur_absgp = 0
@@ -173,7 +179,8 @@ class OggStreamReader:
         from .models.decoder import StreamDecoder
 
         outs: list[np.ndarray] = []
-        dec = StreamDecoder(self.ident_hdr, self.setup_hdr)
+        dec = StreamDecoder(self.ident_hdr, self.setup_hdr,
+                            raw_headers=self._raw_headers)
         buf: list[Packet] = []
 
         def flush(d):
@@ -186,7 +193,8 @@ class OggStreamReader:
         while (pck := self.read_next_audio_packet()) is not None:
             if self._fresh_link:
                 flush(dec)
-                dec = StreamDecoder(self.ident_hdr, self.setup_hdr)
+                dec = StreamDecoder(self.ident_hdr, self.setup_hdr,
+                                    raw_headers=self._raw_headers)
                 self._fresh_link = False
             buf.append(pck)
         flush(dec)

@@ -31,7 +31,7 @@ from ..header import Floor0, Floor1, IdentHeader, SetupHeader
 from ..ops.coupling import inverse_coupling_batch
 from ..ops.floor_curve import BIG_X, floor0_curve_batch, floor1_curve_batch
 from ..ops.imdct import imdct_batch
-from ..ops.windowing import init_window_carry, overlap_add_batch
+from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
 from ..tables import (
     bark_cos_omega,
     floor1_db_exp_constants,
@@ -206,7 +206,7 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         "f1_ys": np.zeros((T, C, P), np.int32),
         "f1_flags": np.zeros((T, C, P), bool),
         "f0_cosc": np.zeros((T, C, max(Omax, 1)), np.float32),
-        "f0_amp": np.zeros((T, C), np.int32),
+        "f0_amp": np.zeros((T, C), np.float32),
     }
     for t, plan in enumerate(plans):
         fr["mode"][t] = plan.mode_number
@@ -250,11 +250,14 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
 
 def decode_frames_core(
     cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
-    imdct=imdct_batch,
+    imdct=imdct_batch, compact_cap: int | None = None,
 ):
     """Decode one chunk of T packets for one stream (untraced core).
 
-    Returns ((out [T, C, n1] f32, out_len [T] i32, [opt] out_i16), new_carry).
+    Returns ((out [T, C, n1] f32, out_len [T] i32, [opt] out_i16), new_carry);
+    with `compact_cap` set, returns ((pcm [cap, C] i16, total, out_len),
+    new_carry) — the compacted form transfers ~100x less over PCIe, host
+    chooses cap >= expected total + n1.
     `imdct` is injectable so the tensor-parallel path can substitute a
     collective-based transform (see lewton_tpu.parallel.batch).
     """
@@ -298,6 +301,9 @@ def decode_frames_core(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
     )
+    if compact_cap is not None:
+        pcm, total = compact_i16(out, out_len, compact_cap)
+        return (pcm, total, out_len), carry
     if with_i16:
         scaled = out * jnp.float32(32768.0)
         clamped = jnp.clip(scaled, -32768.0, 32767.0)
@@ -306,10 +312,39 @@ def decode_frames_core(
     return (out, out_len), carry
 
 
-@partial(jax.jit, static_argnames=("with_i16",))
-def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
+def predict_out_lens(cs: CompiledSetup, fr: dict, started: np.ndarray | bool):
+    """Host-side per-packet output-length prediction (numpy, exact).
+
+    The lengths depend only on (blockflag, prev/next window flag, valid,
+    started) — all host-known — so callers can size the device-compacted
+    output buffer before launching. `fr` leaves may have a leading stream
+    axis; `started` is per-stream (or scalar) carry-in.
+
+    Returns (out_lens i64 [..., T], started_out).
+    """
+    bf_tab = np.asarray(cs.mode_blockflag)
+    bf = bf_tab[np.asarray(fr["mode"])]
+    long_blk = bf == 1
+    pf = np.asarray(fr["prev_flag"])
+    nf = np.asarray(fr["next_flag"])
+    valid = np.asarray(fr["valid"])
+    n0, n1 = cs.n0, cs.n1
+    left = np.where(long_blk & ~pf, (n1 - n0) >> 2, 0)
+    right = np.where(long_blk & ~nf, (3 * n1 - n0) >> 2,
+                     np.where(long_blk, n1 >> 1, n0 >> 1))
+    before = np.cumsum(valid, axis=-1) - valid
+    started_seq = np.logical_or(np.asarray(started)[..., None], before > 0)
+    lens = np.where(valid & started_seq, right - left, 0).astype(np.int64)
+    started_out = np.logical_or(np.asarray(started), valid.any(axis=-1))
+    return lens, started_out
+
+
+@partial(jax.jit, static_argnames=("with_i16", "compact_cap"))
+def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
+                  compact_cap: int | None = None):
     """Jitted single-stream chunk decode (see decode_frames_core)."""
-    return decode_frames_core(cs, fr, carry, with_i16)
+    return decode_frames_core(cs, fr, carry, with_i16,
+                              compact_cap=compact_cap)
 
 
 # --------------------------------------------------------------------------- #
@@ -318,30 +353,71 @@ def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False):
 
 
 class StreamDecoder:
-    """Per-stream chunked decode: entropy-decode packets on the host, run the
-    device pipeline in fixed-size chunks, carry window state across chunks."""
+    """Per-stream chunked decode: entropy-decode packets on the host (C++
+    front-end when built, Python reference otherwise), run the device
+    pipeline in fixed-size chunks, carry window state across chunks.
+
+    ``raw_headers=(ident_packet, setup_packet)`` enables the native
+    front-end; without it the Python front-end is used.
+    """
 
     def __init__(self, ident: IdentHeader, setup: SetupHeader,
-                 chunk: int = DEFAULT_CHUNK):
+                 chunk: int = DEFAULT_CHUNK,
+                 raw_headers: tuple[bytes, bytes] | None = None,
+                 frontend: str = "auto"):
         self.ident = ident
         self.setup = setup
         self.chunk = chunk
         self.cs = compile_setup(ident, setup)
         self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
+        self._native = None
+        if frontend != "python" and raw_headers is not None:
+            from .. import native
+
+            if native.available():
+                self._native = native.NativeStream(*raw_headers)
+            elif frontend == "native":
+                raise RuntimeError("native front-end requested but not built")
 
     def reset(self) -> None:
         self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
 
-    def decode_packets(self, packets: list[bytes]) -> list[np.ndarray]:
-        """Decode audio packets -> list of planar f32 [C, out_len] arrays
-        (one per packet; the first packet of a stream yields length 0)."""
+    def entropy_chunk(self, packets: list[bytes]) -> dict:
+        """Host half for one chunk: packets -> dense frames (numpy dict)."""
+        if self._native is not None:
+            fr, status = self._native.decode_chunk(packets, self.chunk)
+            if (status[: len(packets)] > 1).any():
+                from ..errors import AudioBadFormat
+
+                bad = int(np.argmax(status[: len(packets)] > 1))
+                raise AudioBadFormat(f"undecodable packet at chunk index {bad}")
+            return fr
         plans = [
             decode_packet_entropy(self.ident, self.setup, p) for p in packets
         ]
+        return pack_frames(self.cs, plans, self.chunk)
+
+    def entropy_chunk_batch(self, streams: list[list[bytes]]) -> dict:
+        """Host half for one chunk of a stream batch: [S][<=T] packets ->
+        dense frames with a leading stream axis, written in place (no
+        per-stream stacking copy when the native front-end is available)."""
+        S = len(streams)
+        if self._native is not None:
+            fr = self._native.frame_buffers(self.chunk, lead=(S,))
+            for s, pcks in enumerate(streams):
+                view = {k: v[s] for k, v in fr.items()}
+                self._native.decode_chunk(pcks, self.chunk, out=view)
+            return fr
+        frs = [self.entropy_chunk(pcks) for pcks in streams]
+        return {k: np.stack([f[k] for f in frs]) for k in frs[0]}
+
+    def decode_packets(self, packets: list[bytes]) -> list[np.ndarray]:
+        """Decode audio packets -> list of planar f32 [C, out_len] arrays
+        (one per packet; the first packet of a stream yields length 0)."""
         outs: list[np.ndarray] = []
-        for i in range(0, len(plans), self.chunk):
-            batch = plans[i : i + self.chunk]
-            fr = pack_frames(self.cs, batch, self.chunk)
+        for i in range(0, len(packets), self.chunk):
+            batch = packets[i : i + self.chunk]
+            fr = self.entropy_chunk(batch)
             fr = {k: jnp.asarray(v) for k, v in fr.items()}
             (out, out_len), self.carry = decode_frames(self.cs, fr, self.carry)
             out = np.asarray(out)

@@ -1,0 +1,215 @@
+"""ctypes binding for the native host front-end (liblewton_host.so).
+
+The native library implements the bit-serial host half — Ogg demux, header
+parse, Huffman/VQ entropy decode — and emits the same dense frame tensors
+as the Python reference front-end (`lewton_tpu.audio.decode_packet_entropy`
++ `models.decoder.pack_frames`). Build with `make -C lewton_tpu/native`.
+
+`available()` reports whether the shared library is loadable; all callers
+fall back to the Python front-end when it is not.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+
+import numpy as np
+
+__all__ = ["available", "NativeStream", "demux"]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "liblewton_host.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = C.CDLL(_LIB_PATH)
+    u8p = C.POINTER(C.c_uint8)
+    u32p = C.POINTER(C.c_uint32)
+    u64p = C.POINTER(C.c_uint64)
+    i32p = C.POINTER(C.c_int32)
+    f32p = C.POINTER(C.c_float)
+
+    lib.lt_stream_new.restype = C.c_void_p
+    lib.lt_stream_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
+                                  C.c_char_p, C.c_size_t]
+    lib.lt_stream_free.argtypes = [C.c_void_p]
+    for name in ("channels", "n0", "n1", "rate", "max_posts",
+                 "f0_order_max", "n_modes"):
+        fn = getattr(lib, f"lt_stream_{name}")
+        fn.restype = C.c_int
+        fn.argtypes = [C.c_void_p]
+    lib.lt_stream_mode_blockflag.restype = C.c_int
+    lib.lt_stream_mode_blockflag.argtypes = [C.c_void_p, C.c_int]
+    lib.lt_decode_chunk.restype = C.c_int
+    lib.lt_decode_chunk.argtypes = [
+        C.c_void_p, u8p, u64p, u64p, C.c_int,
+        i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p,
+    ]
+    lib.lt_ogg_new.restype = C.c_void_p
+    lib.lt_ogg_new.argtypes = [u8p, C.c_size_t]
+    lib.lt_ogg_free.argtypes = [C.c_void_p]
+    lib.lt_ogg_packet_count.restype = C.c_int64
+    lib.lt_ogg_packet_count.argtypes = [C.c_void_p]
+    lib.lt_ogg_packet_meta.argtypes = [C.c_void_p, u64p, u32p, u8p, u64p, u64p]
+    lib.lt_ogg_packet_data.argtypes = [C.c_void_p, u8p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except OSError:
+        return False
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(C.POINTER(C.c_uint8))
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(C.POINTER(ctype))
+
+
+class NativeStream:
+    """Native per-stream entropy front-end: packets -> dense frames."""
+
+    def __init__(self, ident_packet: bytes, setup_packet: bytes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "liblewton_host.so not built (make -C lewton_tpu/native)"
+            )
+        self._lib = lib
+        err = C.create_string_buffer(256)
+        ib = np.frombuffer(ident_packet, dtype=np.uint8)
+        sb = np.frombuffer(setup_packet, dtype=np.uint8)
+        self._h = lib.lt_stream_new(_u8(ib), len(ident_packet), _u8(sb),
+                                    len(setup_packet), err, 256)
+        if not self._h:
+            from ..errors import BadHeader
+
+            raise BadHeader(err.value.decode() or "native header parse failed")
+        self.channels = lib.lt_stream_channels(self._h)
+        self.n0 = lib.lt_stream_n0(self._h)
+        self.n1 = lib.lt_stream_n1(self._h)
+        self.sample_rate = lib.lt_stream_rate(self._h)
+        self.max_posts = lib.lt_stream_max_posts(self._h)
+        self.f0_order_max = lib.lt_stream_f0_order_max(self._h)
+        self.n_modes = lib.lt_stream_n_modes(self._h)
+        self.mode_blockflag = np.array(
+            [lib.lt_stream_mode_blockflag(self._h, m)
+             for m in range(self.n_modes)],
+            dtype=np.int32,
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lt_stream_free(self._h)
+            self._h = None
+
+    def frame_buffers(self, T: int, lead: tuple = ()) -> dict:
+        """Allocate frame arrays with shape [*lead, T, ...] (see
+        models.decoder.pack_frames for the layout)."""
+        Cn, W, P = self.channels, self.n1 // 2, self.max_posts
+        Om = max(self.f0_order_max, 1)
+        z = lambda *s, dt=np.float32: np.zeros(lead + s, dt)  # noqa: E731
+        return {
+            "mode": z(T, dt=np.int32),
+            "prev_flag": z(T, dt=bool),
+            "next_flag": z(T, dt=bool),
+            "valid": z(T, dt=bool),
+            "residue": z(T, Cn, W),
+            "f_used": z(T, Cn, dt=bool),
+            "f1_ys": z(T, Cn, P, dt=np.int32),
+            "f1_flags": z(T, Cn, P, dt=bool),
+            "f0_cosc": z(T, Cn, Om),
+            "f0_amp": z(T, Cn),
+        }
+
+    def decode_chunk(self, packets: list[bytes], chunk: int | None = None,
+                     out: dict | None = None):
+        """Entropy-decode packets into dense frames (numpy dict, padded to
+        ``chunk``; same layout as models.decoder.pack_frames) plus a status
+        array (0 ok, 1 header-packet, 2 bad).
+
+        With ``out`` (a contiguous view set from frame_buffers), frames are
+        written in place — no intermediate allocation or copy."""
+        T = chunk if chunk is not None else len(packets)
+        n = len(packets)
+        assert n <= T
+        fr = out if out is not None else self.frame_buffers(T)
+        status = np.zeros(T, np.uint8)
+        if n == 0:
+            return fr, status
+        buf = np.frombuffer(b"".join(packets), dtype=np.uint8)
+        lens = np.array([len(p) for p in packets], dtype=np.uint64)
+        offs = np.zeros(n, dtype=np.uint64)
+        if n > 1:
+            offs[1:] = np.cumsum(lens)[:-1]
+        # bool arrays are 1-byte in numpy; the C side writes 0/1 bytes, so
+        # uint8 views alias them directly
+        u8v = lambda a: a.view(np.uint8)  # noqa: E731
+        self._lib.lt_decode_chunk(
+            self._h, _u8(buf), _ptr(offs, C.c_uint64), _ptr(lens, C.c_uint64),
+            n, _ptr(fr["mode"], C.c_int32), _u8(u8v(fr["prev_flag"])),
+            _u8(u8v(fr["next_flag"])), _u8(status),
+            _ptr(fr["residue"], C.c_float), _u8(u8v(fr["f_used"])),
+            _ptr(fr["f1_ys"], C.c_int32), _u8(u8v(fr["f1_flags"])),
+            _ptr(fr["f0_cosc"], C.c_float), _ptr(fr["f0_amp"], C.c_float),
+        )
+        fr["valid"][:n] = status[:n] == 0
+        return fr, status
+
+
+class NativePacket:
+    __slots__ = ("data", "stream_serial", "first_in_stream", "last_in_stream",
+                 "absgp_page", "first_in_page", "last_in_page", "page_granule")
+
+    def __init__(self, data, serial, flags, absgp, pgran):
+        self.data = data
+        self.stream_serial = int(serial)
+        self.first_in_stream = bool(flags & 1)
+        self.last_in_stream = bool(flags & 2)
+        self.first_in_page = bool(flags & 4)
+        self.last_in_page = bool(flags & 8)
+        self.absgp_page = int(absgp) if flags & 16 else None
+        self.page_granule = int(pgran) if flags & 32 else None
+
+
+def demux(data: bytes) -> list[NativePacket]:
+    """Demux a whole Ogg byte stream natively -> packet list."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("liblewton_host.so not built")
+    src = np.frombuffer(data, dtype=np.uint8)
+    h = lib.lt_ogg_new(_u8(src), len(data))
+    try:
+        count = lib.lt_ogg_packet_count(h)
+        lens = np.zeros(count, np.uint64)
+        serials = np.zeros(count, np.uint32)
+        flags = np.zeros(count, np.uint8)
+        absgp = np.zeros(count, np.uint64)
+        pgran = np.zeros(count, np.uint64)
+        lib.lt_ogg_packet_meta(h, _ptr(lens, C.c_uint64),
+                               _ptr(serials, C.c_uint32), _u8(flags),
+                               _ptr(absgp, C.c_uint64), _ptr(pgran, C.c_uint64))
+        blob = np.zeros(max(int(lens.sum()), 1), np.uint8)
+        lib.lt_ogg_packet_data(h, _u8(blob))
+        out = []
+        off = 0
+        raw = blob.tobytes()
+        for i in range(count):
+            ln = int(lens[i])
+            out.append(NativePacket(raw[off : off + ln], serials[i], flags[i],
+                                    absgp[i], pgran[i]))
+            off += ln
+        return out
+    finally:
+        lib.lt_ogg_free(h)

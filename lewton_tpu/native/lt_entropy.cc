@@ -1,0 +1,486 @@
+// Per-packet entropy decode -> dense frame tensors (native host half).
+//
+// Mirrors lewton_tpu/audio.py decode_packet_entropy + floor.py + residue.py
+// (behavioral parity with lewton src/audio.rs:919-1005, independently
+// implemented from Vorbis I spec §4.3, §6, §7, §8.6). End-of-packet inside
+// floors/residues is data, not error.
+#include <cmath>
+#include <cstring>
+
+#include "lt_header.h"
+
+namespace lt {
+
+namespace {
+
+uint32_t ilog(uint64_t x) {
+  uint32_t r = 0;
+  while (x) {
+    ++r;
+    x >>= 1;
+  }
+  return r;
+}
+
+constexpr int kFloor1Ranges[4] = {256, 128, 86, 64};
+
+// Integer line prediction with u32 wrap-on-negative (spec 9.2.6; the
+// reference computes in u32 space, lewton src/audio.rs:354-367).
+uint32_t render_point(uint32_t x0, uint32_t y0, uint32_t x1, uint32_t y1,
+                      uint32_t x) {
+  int64_t dy = (int64_t)y1 - (int64_t)y0;
+  int64_t adx = (int64_t)x1 - (int64_t)x0;
+  int64_t ady = dy < 0 ? -dy : dy;
+  int64_t off = (ady * (int64_t)(x - x0)) / adx;
+  int64_t r = dy < 0 ? (int64_t)y0 - off : (int64_t)y0 + off;
+  return (uint32_t)r;  // wraps like the reference's u32 arithmetic
+}
+
+}  // namespace
+
+struct Stream {
+  IdentHeader ident;
+  SetupHeader setup;
+  // frame geometry
+  uint32_t channels, n0, n1, W, P, Omax;
+};
+
+// status codes per packet
+enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
+
+// Decode floors + residues for one packet into the dense per-packet slices.
+// Returns a status code.
+static int decode_packet(Stream* st, const uint8_t* pck, size_t len,
+                         int32_t* mode_out, uint8_t* prev_out,
+                         uint8_t* next_out, float* residue,  // [C, W]
+                         uint8_t* f_kind,                    // [C]
+                         int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
+                         float* f0_cosc, float* f0_amp) {    // [C,Omax],[C]
+  const uint32_t C = st->channels, W = st->W, P = st->P, Omax = st->Omax;
+  memset(residue, 0, sizeof(float) * C * W);
+  memset(f_kind, 0, C);
+  memset(f1_ys, 0, sizeof(int32_t) * C * P);
+  memset(f1_flags, 0, C * P);
+  if (Omax) memset(f0_cosc, 0, sizeof(float) * C * Omax);
+  memset(f0_amp, 0, sizeof(float) * C);
+
+  BitCursor cur(pck, len);
+  uint32_t v;
+  if (!cur.read(1, &v)) return LT_BAD;
+  if (v) return LT_IS_HEADER;
+  uint32_t mode_number;
+  if (!cur.read(ilog(st->setup.modes.size() - 1), &mode_number)) return LT_BAD;
+  if (mode_number >= st->setup.modes.size()) return LT_BAD;
+  const Mode& mode = st->setup.modes[mode_number];
+  const Mapping& mapping = st->setup.mappings[mode.mapping];
+  uint32_t n = mode.blockflag ? st->n1 : st->n0;
+  bool prev_flag = true, next_flag = true;
+  if (mode.blockflag) {
+    if (!cur.read_flag(&prev_flag) || !cur.read_flag(&next_flag))
+      return LT_BAD;
+  }
+  *mode_out = (int32_t)mode_number;
+  *prev_out = prev_flag;
+  *next_out = next_flag;
+
+  // ---- floors (EOP => channel unused; bad data => whole packet bad) ----
+  std::vector<bool> no_residue(C, false);
+  for (uint32_t ch = 0; ch < C; ++ch) {
+    const Floor& fl = st->setup.floors[mapping.submap_floor[mapping.mux[ch]]];
+    if (fl.type == 0) {
+      const Floor0& f = fl.f0;
+      // amplitude can be up to 64 bits wide (header-validated)
+      uint64_t amplitude = 0;
+      {
+        uint32_t lo_bits = f.amplitude_bits > 32 ? 32 : f.amplitude_bits;
+        uint32_t lo;
+        if (!cur.read(lo_bits, &lo)) {
+          no_residue[ch] = true;
+          continue;
+        }
+        amplitude = lo;
+        if (f.amplitude_bits > 32) {
+          uint32_t hi;
+          if (!cur.read(f.amplitude_bits - 32, &hi)) {
+            no_residue[ch] = true;
+            continue;
+          }
+          amplitude |= (uint64_t)hi << 32;
+        }
+      }
+      if (amplitude == 0) {
+        no_residue[ch] = true;
+        continue;
+      }
+      uint32_t booknumber;
+      if (!cur.read(ilog(f.books.size()), &booknumber)) {
+        no_residue[ch] = true;
+        continue;
+      }
+      if (booknumber >= f.books.size()) return LT_BAD;
+      const Codebook& cb = st->setup.codebooks[f.books[booknumber]];
+      if (!cb.has_vq) return LT_BAD;
+      float* cosc = f0_cosc + (size_t)ch * Omax;
+      uint32_t got = 0;
+      float last = 0.0f;
+      bool eop = false;
+      while (got < f.order) {
+        uint32_t e;
+        if (!cb.huff.decode(&cur, &e)) {
+          eop = true;
+          break;
+        }
+        const float* vec = cb.vq.data() + (size_t)e * cb.dimensions;
+        for (uint16_t j = 0; j < cb.dimensions && got < f.order; ++j)
+          cosc[got++] = (float)cos((double)(last + vec[j]));
+        if (got < f.order)
+          last = last + vec[cb.dimensions - 1];  // ref accumulation
+      }
+      if (eop) {
+        no_residue[ch] = true;
+        continue;
+      }
+      f_kind[ch] = 1;  // "floor used" flag; floor type is static per setup
+      f0_amp[ch] = (float)amplitude;
+    } else {
+      const Floor1& f = fl.f1;
+      bool nonzero;
+      if (!cur.read_flag(&nonzero) || !nonzero) {
+        no_residue[ch] = true;
+        continue;
+      }
+      int rng = kFloor1Ranges[f.multiplier - 1];
+      uint32_t b = ilog((uint32_t)rng - 1);
+      size_t values = f.x_list.size();
+      std::vector<uint32_t> y(values, 0);
+      bool eop = false;
+      if (!cur.read(b, &y[0]) || !cur.read(b, &y[1])) {
+        no_residue[ch] = true;
+        continue;
+      }
+      size_t yi = 2;
+      for (size_t p = 0; p < f.partition_class.size() && !eop; ++p) {
+        uint8_t cls = f.partition_class[p];
+        uint8_t cdim = f.class_dims[cls];
+        uint8_t cbits = f.class_subclasses[cls];
+        uint32_t csub = (1u << cbits) - 1;
+        uint32_t cval = 0;
+        if (cbits > 0) {
+          const Codebook& mb =
+              st->setup.codebooks[f.class_masterbooks[cls]];
+          if (!mb.huff.decode(&cur, &cval)) {
+            eop = true;
+            break;
+          }
+        }
+        for (uint8_t d = 0; d < cdim; ++d) {
+          int16_t book = f.subclass_books[cls][cval & csub];
+          cval >>= cbits;
+          if (book >= 0) {
+            uint32_t t;
+            if (!st->setup.codebooks[book].huff.decode(&cur, &t)) {
+              eop = true;
+              break;
+            }
+            y[yi++] = t;
+          } else {
+            y[yi++] = 0;
+          }
+        }
+      }
+      if (eop) {
+        no_residue[ch] = true;
+        continue;
+      }
+      // amplitude reconstruction (spec 7.2.4 part 1)
+      std::vector<uint32_t> final_y(values);
+      std::vector<uint8_t> step2(values, 0);
+      final_y[0] = y[0];
+      final_y[1] = y[1];
+      step2[0] = step2[1] = 1;
+      for (size_t i = 2; i < values; ++i) {
+        size_t lo = f.low_neighbors[i], hi = f.high_neighbors[i];
+        uint32_t predicted =
+            render_point(f.x_list[lo], final_y[lo], f.x_list[hi], final_y[hi],
+                         f.x_list[i]);
+        uint32_t val = y[i];
+        int64_t highroom = rng - (int64_t)predicted;
+        int64_t lowroom = predicted;
+        int64_t room = 2 * (highroom < lowroom ? highroom : lowroom);
+        uint32_t fy;
+        if (val > 0) {
+          step2[lo] = step2[hi] = step2[i] = 1;
+          if ((int64_t)val >= room) {
+            if (highroom > lowroom)
+              fy = (uint32_t)(predicted + val - lowroom);
+            else
+              fy = (uint32_t)(predicted - val + highroom - 1);
+          } else {
+            fy = (val & 1) ? predicted - ((val + 1) >> 1)
+                           : predicted + (val >> 1);
+          }
+        } else {
+          step2[i] = 0;
+          fy = predicted;
+        }
+        final_y[i] = fy;  // u32 wrap like the reference
+      }
+      // clamp + emit in sorted-x order for the device pipeline
+      int32_t* ys = f1_ys + (size_t)ch * P;
+      uint8_t* fs = f1_flags + (size_t)ch * P;
+      for (size_t i = 0; i < values; ++i) {
+        uint16_t si = f.sort_order[i];
+        uint32_t fy = final_y[si];
+        ys[i] = (int32_t)(fy > (uint32_t)(rng - 1) ? (uint32_t)(rng - 1) : fy);
+        fs[i] = step2[si];
+      }
+      f_kind[ch] = 1;
+    }
+  }
+
+  // ---- no_residue propagation via coupling (spec 4.3.4) ----
+  for (size_t s = 0; s < mapping.coupling_magnitude.size(); ++s) {
+    uint8_t mag = mapping.coupling_magnitude[s];
+    uint8_t ang = mapping.coupling_angle[s];
+    if (!(no_residue[mag] && no_residue[ang])) {
+      no_residue[mag] = false;
+      no_residue[ang] = false;
+    }
+  }
+
+  // ---- residues per submap ----
+  size_t n_submaps = mapping.submap_floor.size();
+  std::vector<float> inter;  // type-2 interleave scratch
+  for (size_t sm = 0; sm < n_submaps; ++sm) {
+    std::vector<uint32_t> chans;
+    for (uint32_t j = 0; j < C; ++j)
+      if (mapping.mux[j] == sm) chans.push_back(j);
+    const Residue& r = st->setup.residues[mapping.submap_residue[sm]];
+    uint32_t ch_cnt = (uint32_t)chans.size();
+    if (ch_cnt == 0) continue;
+
+    // channel vectors: pointers into the output residue slices
+    if (r.residue_type == 2) {
+      bool all_dnd = true;
+      for (uint32_t j : chans) all_dnd &= no_residue[j];
+      if (all_dnd) continue;
+      uint32_t actual = n * ch_cnt / 2;
+      inter.assign(actual, 0.0f);
+      float* vecs[1] = {inter.data()};
+      bool dnd1[1] = {false};
+      // decode as one interleaved pseudo-channel of size n*ch
+      const uint32_t blocksize = n * ch_cnt;
+      // (fallthrough to shared inner loop below)
+      // -- inner decode --
+      {
+        uint32_t actual_size = blocksize / 2;
+        uint32_t begin = r.begin < actual_size ? r.begin : actual_size;
+        uint32_t end = r.end < actual_size ? r.end : actual_size;
+        const Codebook& classbook = st->setup.codebooks[r.classbook];
+        uint32_t cpc = classbook.dimensions;
+        uint32_t n_to_read = end - begin;
+        if (n_to_read) {
+          if (cpc == 0) return LT_BAD;
+          uint32_t partitions_to_read = n_to_read / r.partition_size;
+          std::vector<uint32_t> cl(partitions_to_read + cpc, 0);
+          bool eop = false;
+          for (int pass = 0; pass < 8 && !eop; ++pass) {
+            uint32_t pc = 0;
+            while (pc < partitions_to_read && !eop) {
+              if (pass == 0) {
+                uint32_t temp;
+                if (!classbook.huff.decode(&cur, &temp)) {
+                  eop = true;
+                  break;
+                }
+                for (int i = (int)cpc - 1; i >= 0; --i) {
+                  cl[i + pc] = temp % r.classifications;
+                  temp /= r.classifications;
+                }
+              }
+              for (uint32_t ci = 0; ci < cpc && pc < partitions_to_read;
+                   ++ci, ++pc) {
+                uint32_t offs = begin + pc * r.partition_size;
+                int16_t book_idx = r.books[cl[pc]][pass];
+                if (book_idx < 0) continue;
+                const Codebook& book = st->setup.codebooks[book_idx];
+                uint32_t dim = book.dimensions;
+                float* row = vecs[0];
+                uint32_t i = 0;
+                while (i < r.partition_size) {
+                  uint32_t e;
+                  if (!book.huff.decode(&cur, &e)) {
+                    eop = true;
+                    break;
+                  }
+                  if (actual_size - (offs + i) < dim) break;  // ref: clip stop
+                  const float* vec = book.vq.data() + (size_t)e * dim;
+                  for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
+                  i += dim;
+                }
+                if (eop) break;
+              }
+            }
+          }
+        }
+        (void)dnd1;
+      }
+      // deinterleave: channel j takes every ch-th value starting at j
+      for (uint32_t k = 0; k < ch_cnt; ++k) {
+        float* dst = residue + (size_t)chans[k] * W;
+        for (uint32_t i = k, o = 0; i < actual; i += ch_cnt, ++o) dst[o] = inter[i];
+      }
+    } else {
+      // types 0/1: per-channel
+      uint32_t actual_size = n / 2;
+      uint32_t begin = r.begin < actual_size ? r.begin : actual_size;
+      uint32_t end = r.end < actual_size ? r.end : actual_size;
+      const Codebook& classbook = st->setup.codebooks[r.classbook];
+      uint32_t cpc = classbook.dimensions;
+      uint32_t n_to_read = end - begin;
+      if (n_to_read == 0) continue;
+      if (cpc == 0) return LT_BAD;
+      uint32_t partitions_to_read = n_to_read / r.partition_size;
+      std::vector<uint32_t> cl((partitions_to_read + cpc) * ch_cnt, 0);
+      bool eop = false;
+      for (int pass = 0; pass < 8 && !eop; ++pass) {
+        uint32_t pc = 0;
+        while (pc < partitions_to_read && !eop) {
+          if (pass == 0) {
+            for (uint32_t j = 0; j < ch_cnt; ++j) {
+              if (no_residue[chans[j]]) continue;
+              uint32_t temp;
+              if (!classbook.huff.decode(&cur, &temp)) {
+                eop = true;
+                break;
+              }
+              for (int i = (int)cpc - 1; i >= 0; --i) {
+                cl[j * (partitions_to_read + cpc) + i + pc] =
+                    temp % r.classifications;
+                temp /= r.classifications;
+              }
+            }
+            if (eop) break;
+          }
+          for (uint32_t ci = 0; ci < cpc && pc < partitions_to_read;
+               ++ci, ++pc) {
+            for (uint32_t j = 0; j < ch_cnt; ++j) {
+              if (no_residue[chans[j]]) continue;
+              uint32_t offs = begin + pc * r.partition_size;
+              int16_t book_idx =
+                  r.books[cl[j * (partitions_to_read + cpc) + pc]][pass];
+              if (book_idx < 0) continue;
+              const Codebook& book = st->setup.codebooks[book_idx];
+              uint32_t dim = book.dimensions;
+              float* row = residue + (size_t)chans[j] * W;
+              if (r.residue_type == 0) {
+                uint32_t step = r.partition_size / dim;
+                for (uint32_t i = 0; i < step; ++i) {
+                  uint32_t e;
+                  if (!book.huff.decode(&cur, &e)) {
+                    eop = true;
+                    break;
+                  }
+                  const float* vec = book.vq.data() + (size_t)e * dim;
+                  for (uint32_t d = 0; d < dim; ++d)
+                    row[offs + i + d * step] += vec[d];
+                }
+              } else {
+                uint32_t i = 0;
+                while (i < r.partition_size) {
+                  uint32_t e;
+                  if (!book.huff.decode(&cur, &e)) {
+                    eop = true;
+                    break;
+                  }
+                  if (actual_size - (offs + i) < dim) break;
+                  const float* vec = book.vq.data() + (size_t)e * dim;
+                  for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
+                  i += dim;
+                }
+              }
+              if (eop) break;
+            }
+            if (eop) break;
+          }
+        }
+      }
+    }
+  }
+  return LT_OK;
+}
+
+}  // namespace lt
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+using lt::Stream;
+
+extern "C" {
+
+Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
+                      const uint8_t* setup_pck, size_t setup_len, char* err,
+                      size_t err_len) {
+  auto st = std::make_unique<Stream>();
+  std::string e = lt::read_header_ident(ident_pck, ident_len, &st->ident);
+  if (e.empty())
+    e = lt::read_header_setup(setup_pck, setup_len, st->ident, &st->setup);
+  if (!e.empty()) {
+    if (err && err_len) {
+      strncpy(err, e.c_str(), err_len - 1);
+      err[err_len - 1] = 0;
+    }
+    return nullptr;
+  }
+  st->channels = st->ident.channels;
+  st->n0 = st->ident.bs0();
+  st->n1 = st->ident.bs1();
+  st->W = st->n1 / 2;
+  uint32_t P = 2, Omax = 0;
+  for (const lt::Floor& f : st->setup.floors) {
+    if (f.type == 1 && f.f1.x_list.size() > P)
+      P = (uint32_t)f.f1.x_list.size();
+    if (f.type == 0 && f.f0.order > Omax) Omax = f.f0.order;
+  }
+  st->P = P;
+  st->Omax = Omax;
+  return st.release();
+}
+
+void lt_stream_free(Stream* st) { delete st; }
+
+// geometry accessors for the Python side
+int lt_stream_channels(const Stream* st) { return (int)st->channels; }
+int lt_stream_n0(const Stream* st) { return (int)st->n0; }
+int lt_stream_n1(const Stream* st) { return (int)st->n1; }
+int lt_stream_rate(const Stream* st) { return (int)st->ident.sample_rate; }
+int lt_stream_max_posts(const Stream* st) { return (int)st->P; }
+int lt_stream_f0_order_max(const Stream* st) { return (int)st->Omax; }
+int lt_stream_n_modes(const Stream* st) {
+  return (int)st->setup.modes.size();
+}
+int lt_stream_mode_blockflag(const Stream* st, int m) {
+  return st->setup.modes[m].blockflag;
+}
+
+// Decode T packets (concatenated in `buf`, packet i at offs[i], length
+// lens[i]) into dense [T, ...] arrays. Returns number of packets decoded.
+int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
+                    const uint64_t* lens, int T, int32_t* mode,
+                    uint8_t* prevf, uint8_t* nextf, uint8_t* status,
+                    float* residue, uint8_t* f_kind, int32_t* f1_ys,
+                    uint8_t* f1_flags, float* f0_cosc, float* f0_amp) {
+  const size_t C = st->channels, W = st->W, P = st->P, Om = st->Omax;
+  for (int t = 0; t < T; ++t) {
+    status[t] = (uint8_t)lt::decode_packet(
+        st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
+        residue + (size_t)t * C * W, f_kind + (size_t)t * C,
+        f1_ys + (size_t)t * C * P, f1_flags + (size_t)t * C * P,
+        f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C);
+  }
+  return T;
+}
+
+}  // extern "C"

@@ -88,7 +88,7 @@ def floor1_curve_batch(
 
 def floor0_curve_batch(
     cosc: jnp.ndarray,  # f32 [T, C, Omax] cos(coefficient) values, pad 0
-    amp: jnp.ndarray,  # i32 [T, C] packet amplitude (0 => unused)
+    amp: jnp.ndarray,  # f32 [T, C] packet amplitude (0 => unused)
     order: jnp.ndarray,  # i32 [T, C] floor order
     lfv_scale: jnp.ndarray,  # f32 [T, C] amplitude_offset / ((1<<amp_bits)-1)
     amp_offset: jnp.ndarray,  # f32 [T, C]
@@ -122,7 +122,7 @@ def floor0_curve_batch(
         return p, q
 
     p, q = jax.lax.fori_loop(0, jmax, body, (p0, q0))
-    lfv_common = amp.astype(jnp.float32) * lfv_scale  # [T, C]
+    lfv_common = amp * lfv_scale  # [T, C]
     arg = jnp.float32(0.11512925) * (
         lfv_common[:, :, None] / jnp.sqrt(p + q) - amp_offset[:, :, None]
     )

@@ -22,7 +22,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["overlap_add_batch", "init_window_carry"]
+__all__ = ["overlap_add_batch", "init_window_carry", "compact_i16"]
+
+
+def compact_i16(out: jnp.ndarray, out_len: jnp.ndarray, cap: int):
+    """Pack ragged per-packet PCM into one contiguous [cap, C] i16 buffer.
+
+    out: f32 [T, C, n1] (zeros past out_len[t]); returns (pcm [cap, C] i16,
+    total i32). Each packet is written full-width at its running offset —
+    the padding tail is overwritten by the next packet, so no masking or
+    scatter is needed (TPU scatters are slow; dynamic_update_slice is a
+    fast vector copy). Caller must choose cap >= total + n1.
+
+    i16 conversion is the reference's: scale 32768, clamp, truncate toward
+    zero (lewton src/samples.rs:91-103).
+    """
+    T, C, n1 = out.shape
+    scaled = out * jnp.float32(32768.0)
+    clamped = jnp.clip(scaled, -32768.0, 32767.0)
+    i16 = jnp.trunc(clamped).astype(jnp.int16)  # [T, C, n1]
+
+    def step(carry, xs):
+        buf, pos = carry
+        a, ln = xs  # [C, n1], scalar
+        buf = jax.lax.dynamic_update_slice(buf, a.T, (pos, jnp.int32(0)))
+        return (buf, pos + ln), None
+
+    buf0 = jnp.zeros((cap, C), jnp.int16)
+    (buf, total), _ = jax.lax.scan(step, (buf0, jnp.int32(0)), (i16, out_len))
+    return buf, total
 
 
 def init_window_carry(channels: int, w: int):

@@ -28,11 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ..models.decoder import (
-    CompiledSetup,
-    decode_frames_core,
-    pack_frames,
-)
+from ..models.decoder import CompiledSetup, decode_frames_core
 from ..ops.windowing import init_window_carry
 
 __all__ = [
@@ -55,10 +51,12 @@ def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
-@partial(jax.jit, static_argnames=("with_i16",))
-def decode_chunk_batch(cs: CompiledSetup, fr: dict, carry, with_i16=False):
+@partial(jax.jit, static_argnames=("with_i16", "compact_cap"))
+def decode_chunk_batch(cs: CompiledSetup, fr: dict, carry, with_i16=False,
+                       compact_cap=None):
     """vmap over the stream axis: fr leaves [S, T, ...], carry leaves [S, ...]."""
-    fn = partial(decode_frames_core, with_i16=with_i16)
+    fn = partial(decode_frames_core, with_i16=with_i16,
+                 compact_cap=compact_cap)
     return jax.vmap(fn, in_axes=(None, 0, 0))(cs, fr, carry)
 
 
@@ -101,16 +99,71 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
     return jax.lax.psum(partial_out, axis)
 
 
+# ---------------------------------------------------------------------------
+# Coalesced frame transfer: each host->device put pays fixed dispatch
+# latency, so the nine small frame arrays are shipped as three flat buffers
+# (one per dtype) alongside the big residue tensor, and re-viewed on device.
+# ---------------------------------------------------------------------------
+
+_MISC_BOOL = ("prev_flag", "next_flag", "valid", "f_used", "f1_flags")
+_MISC_I32 = ("mode", "f1_ys")
+_MISC_F32 = ("f0_cosc", "f0_amp")
+
+
+def pack_frame_buffers(fr_np: dict):
+    """(residue, u8 buf, i32 buf, f32 buf, shapes) — shapes is hashable and
+    jit-static."""
+    shapes = tuple(
+        (k, tuple(fr_np[k].shape)) for k in _MISC_BOOL + _MISC_I32 + _MISC_F32
+    )
+    b = np.concatenate([fr_np[k].reshape(-1).view(np.uint8) for k in _MISC_BOOL])
+    i = np.concatenate([fr_np[k].reshape(-1) for k in _MISC_I32])
+    f = np.concatenate([fr_np[k].reshape(-1) for k in _MISC_F32])
+    return fr_np["residue"], b, i, f, shapes
+
+
+def unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes) -> dict:
+    """Device-side re-view of the coalesced buffers (traced, zero-copy-ish:
+    slices + reshapes fuse into consumers)."""
+    fr = {"residue": residue}
+    d = dict(shapes)
+    off = 0
+    for k in _MISC_BOOL:
+        n = int(np.prod(d[k]))
+        fr[k] = bbuf[off : off + n].reshape(d[k]).astype(bool)
+        off += n
+    off = 0
+    for k in _MISC_I32:
+        n = int(np.prod(d[k]))
+        fr[k] = ibuf[off : off + n].reshape(d[k])
+        off += n
+    off = 0
+    for k in _MISC_F32:
+        n = int(np.prod(d[k]))
+        fr[k] = fbuf[off : off + n].reshape(d[k])
+        off += n
+    return fr
+
+
+@partial(jax.jit, static_argnames=("shapes", "compact_cap"))
+def decode_chunk_batch_packed(cs, residue, bbuf, ibuf, fbuf, shapes, carry,
+                              compact_cap):
+    fr = unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes)
+    fn = partial(decode_frames_core, compact_cap=compact_cap)
+    return jax.vmap(fn, in_axes=(None, 0, 0))(cs, fr, carry)
+
+
 _SHARDED_CACHE: dict = {}
 
 
-def _make_sharded(mesh: Mesh, with_i16: bool):
+def _make_sharded(mesh: Mesh, with_i16: bool, compact_cap=None):
     ntp = mesh.shape["tp"]
     imdct = partial(_imdct_tp, axis="tp", ntp=ntp) if ntp > 1 else None
 
     def body(cs_, fr_, carry_):
         kw = {"imdct": imdct} if imdct is not None else {}
-        fn = partial(decode_frames_core, with_i16=with_i16, **kw)
+        fn = partial(decode_frames_core, with_i16=with_i16,
+                     compact_cap=compact_cap, **kw)
         return jax.vmap(fn, in_axes=(None, 0, 0))(cs_, fr_, carry_)
 
     fn = shard_map(
@@ -124,15 +177,16 @@ def _make_sharded(mesh: Mesh, with_i16: bool):
     return jax.jit(fn)
 
 
-def decode_chunk_sharded(mesh: Mesh, cs, fr, carry, with_i16: bool = False):
+def decode_chunk_sharded(mesh: Mesh, cs, fr, carry, with_i16: bool = False,
+                         compact_cap=None):
     """Chunk decode over a (dp, tp) mesh via shard_map.
 
     fr leaves [S, T, ...] with S divisible by mesh dp size; setup tables are
     replicated. dp is embarrassingly parallel; tp adds the IMDCT psum.
     """
-    key = (mesh, with_i16)
+    key = (mesh, with_i16, compact_cap)
     if key not in _SHARDED_CACHE:
-        _SHARDED_CACHE[key] = _make_sharded(mesh, with_i16)
+        _SHARDED_CACHE[key] = _make_sharded(mesh, with_i16, compact_cap)
     return _SHARDED_CACHE[key](cs, fr, carry)
 
 
@@ -144,25 +198,23 @@ class BatchDecoder:
     the ragged output.
     """
 
-    def __init__(self, ident, setup, chunk: int = 64, mesh: Mesh | None = None):
-        from ..models.decoder import compile_setup
+    def __init__(self, ident, setup, chunk: int = 64, mesh: Mesh | None = None,
+                 raw_headers=None, frontend: str = "auto"):
+        from ..models.decoder import StreamDecoder
 
         self.ident, self.setup = ident, setup
-        self.cs = compile_setup(ident, setup)
+        # entropy front-end (native C++ when built) + compiled setup, shared
+        # across streams — Vorbis has no inter-packet entropy state
+        self._sd = StreamDecoder(ident, setup, chunk, raw_headers, frontend)
+        self.cs = self._sd.cs
         self.chunk = chunk
         self.mesh = mesh
 
     def decode_streams(self, streams: list[list[bytes]]) -> list[np.ndarray]:
         """streams: per stream, its audio packets. Returns planar f32 PCM
         [C, total] per stream."""
-        from ..audio import decode_packet_entropy
-
         S = len(streams)
-        plans = [
-            [decode_packet_entropy(self.ident, self.setup, p) for p in pks]
-            for pks in streams
-        ]
-        max_t = max(len(p) for p in plans)
+        max_t = max(len(p) for p in streams)
         C, W = self.cs.channels, self.cs.n1 // 2
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (S,) + x.shape),
@@ -171,8 +223,8 @@ class BatchDecoder:
         outs: list[list[np.ndarray]] = [[] for _ in range(S)]
         for t0 in range(0, max_t, self.chunk):
             frs = [
-                pack_frames(self.cs, pl[t0 : t0 + self.chunk], self.chunk)
-                for pl in plans
+                self._sd.entropy_chunk(pks[t0 : t0 + self.chunk])
+                for pks in streams
             ]
             fr = {k: jnp.asarray(np.stack([f[k] for f in frs])) for k in frs[0]}
             if self.mesh is not None:
@@ -184,9 +236,61 @@ class BatchDecoder:
             out = np.asarray(out)
             out_len = np.asarray(out_len)
             for s in range(S):
-                for t in range(min(self.chunk, len(plans[s]) - t0)):
+                for t in range(min(self.chunk, len(streams[s]) - t0)):
                     outs[s].append(out[s, t, :, : out_len[s, t]])
         return [
             np.concatenate(o, axis=1) if o else np.zeros((C, 0), np.float32)
+            for o in outs
+        ]
+
+    def decode_streams_i16(self, streams: list[list[bytes]]) -> list[np.ndarray]:
+        """Serving path: returns interleaved i16 PCM [total, C] per stream.
+
+        PCM is compacted and converted to i16 on device, so the device->host
+        transfer is the exact audio payload (no padding) — ~100x less PCIe
+        traffic than the f32 padded path.
+        """
+        from ..models.decoder import predict_out_lens
+
+        S = len(streams)
+        max_t = max(len(p) for p in streams)
+        C, W = self.cs.channels, self.cs.n1 // 2
+        n1 = self.cs.n1
+        carry = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (S,) + x.shape),
+            init_window_carry(C, W),
+        )
+        started = np.zeros(S, bool)
+        chunks: list[tuple] = []  # (device pcm [S, cap, C], totals [S])
+        for t0 in range(0, max_t, self.chunk):
+            fr_np = self._sd.entropy_chunk_batch(
+                [pks[t0 : t0 + self.chunk] for pks in streams]
+            )
+            lens, started = predict_out_lens(self.cs, fr_np, started)
+            totals = lens.sum(axis=-1)
+            # one bucketed cap for the whole batch: few distinct caps ->
+            # few compiles
+            cap = int(-(-(int(totals.max()) + n1) // 8192) * 8192)
+            if self.mesh is not None:
+                fr = {k: jnp.asarray(v) for k, v in fr_np.items()}
+                (pcm, total, _), carry = decode_chunk_sharded(
+                    self.mesh, self.cs, fr, carry, compact_cap=cap
+                )
+            else:
+                residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
+                (pcm, total, _), carry = decode_chunk_batch_packed(
+                    self.cs, jnp.asarray(residue), jnp.asarray(bb),
+                    jnp.asarray(ib), jnp.asarray(fb), shapes, carry, cap,
+                )
+            # keep pcm on device: the D2H pull below then overlaps the next
+            # chunk's host entropy + device compute (JAX async dispatch)
+            chunks.append((pcm, totals))
+        outs: list[list[np.ndarray]] = [[] for _ in range(S)]
+        for pcm, totals in chunks:
+            pcm = np.asarray(pcm)  # [S, cap, C] i16
+            for s in range(S):
+                outs[s].append(pcm[s, : totals[s]])
+        return [
+            np.concatenate(o, axis=0) if o else np.zeros((0, C), np.int16)
             for o in outs
         ]

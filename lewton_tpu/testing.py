@@ -79,7 +79,7 @@ def synthetic_frames(
         "f1_ys": rng.randint(0, 128, shp(C, P)).astype(np.int32),
         "f1_flags": rng.rand(*shp(C, P)) < 0.7,
         "f0_cosc": np.zeros(shp(C, max(cs.f0_order_max, 1)), np.float32),
-        "f0_amp": np.zeros(shp(C), np.int32),
+        "f0_amp": np.zeros(shp(C), np.float32),
     }
     fr["f1_flags"][..., :2] = True
     return fr

@@ -50,3 +50,16 @@ def test_sharded_matches_unsharded(corpus_dir, dp, tp):
     b = sharded.decode_streams(streams)
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=2e-6)
+
+
+def test_decode_streams_i16_matches_reference(corpus_dir):
+    """Device-compacted i16 path must equal the per-packet reference i16."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    headers, pcks = _audio_packets(path)
+    dec = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    outs = dec.decode_streams_i16([pcks, pcks])
+    ref = OggStreamReader(path, backend="numpy").read_all_i16()
+    for o in outs:
+        assert o.shape[0] >= ref.shape[0]  # no end-of-stream truncation here
+        diff = np.abs(o[: ref.shape[0]].astype(int) - ref.astype(int))
+        assert diff.max() <= 1
