@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from . import debug
 from . import floor as floor_mod
 from . import samples as samples_mod
 from .bitpack import BitCursor, ilog
@@ -190,7 +191,9 @@ def _synthesize(
     n2 = n // 2
     channels = ident.channels
 
+    debug.record("residue_pre_inverse", plan.residue)
     residue = _inverse_coupling(plan.residue.copy(), plan.coupling)
+    debug.record("residue_post_inverse", residue)
 
     # floor curve synthesis + dot product
     spectra = np.zeros((channels, n2), dtype=np.float32)
@@ -205,8 +208,10 @@ def _synthesize(
         spectra[ch] = curve * residue[ch]
 
     # IMDCT: y = X @ M, f64 accumulation, one rounding to f32
+    debug.record("pre_mdct", spectra)
     m = imdct_matrix(n, dtype=np.float64)
     audio = (spectra.astype(np.float64) @ m).astype(np.float32)
+    debug.record("post_mdct", audio)
 
     left_start, right_start, right_end, left_use_bs1 = _window_geometry(
         ident, plan.mode_blockflag, plan.prev_window_flag, plan.next_window_flag

@@ -79,6 +79,7 @@ class OggStreamReader:
         self._raw_headers = (headers.raw_ident, headers.raw_setup)
         self.stream_serial = serial
         self.pwr = PreviousWindowRight()
+        self._native_dec = None
         # Deliberate improvement over the reference: start granule tracking
         # at 0 so end-of-stream truncation works even when all audio sits on
         # a single page (the reference only learns absgp at the first page
@@ -94,9 +95,20 @@ class OggStreamReader:
 
     def _decode(self, packet: bytes) -> np.ndarray:
         """Decode one packet to planar f32 [ch, out]."""
+        if self.backend == "native":
+            if self._native_dec is None:
+                from . import native
+
+                self._native_dec = native.NativeDecoder(*self._raw_headers)
+            return self._native_dec.decode(packet)
         return read_audio_packet_generic(
             self.ident_hdr, self.setup_hdr, packet, self.pwr, fmt="planar_f32"
         )
+
+    def _reset_decode_state(self) -> None:
+        """Reset the inter-packet window state (all backends)."""
+        self.pwr = PreviousWindowRight()
+        self._native_dec = None
 
     def read_next_audio_packet(self) -> Packet | None:
         """Next audio packet of the current stream; handles chained-ogg
@@ -118,11 +130,11 @@ class OggStreamReader:
                 comment = read_header_comment(pck2.data)
                 pck3 = self.rdr.read_packet_expected()
                 setup = read_header_setup(pck3.data, ident)
-                self.pwr = PreviousWindowRight()
                 self.ident_hdr = ident
                 self.comment_hdr = comment
                 self.setup_hdr = setup
                 self._raw_headers = (pck.data, pck3.data)
+                self._reset_decode_state()
                 self.stream_serial = pck3.stream_serial
                 # granule positions restart at 0 in each chain link
                 self.cur_absgp = 0
@@ -255,7 +267,7 @@ class OggStreamReader:
                 sample_cnt = min(sample_cnt, target)
             if to_skip < sample_cnt:
                 if last_pck is not None:
-                    self.pwr = PreviousWindowRight()
+                    self._reset_decode_state()
                     self._decode(last_pck.data)
                 decoded = self.dec_packet_planar_f32(next_pck)
                 return getattr(samples_mod, fmt)(decoded), to_skip
@@ -272,4 +284,4 @@ class OggStreamReader:
         (ref: lewton src/inside_ogg.rs:307-313)."""
         self.rdr.seek_absgp(absgp)
         self.cur_absgp = None
-        self.pwr = PreviousWindowRight()
+        self._reset_decode_state()

@@ -251,6 +251,7 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
 def decode_frames_core(
     cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
     imdct=imdct_batch, compact_cap: int | None = None,
+    with_taps: bool = False,
 ):
     """Decode one chunk of T packets for one stream (untraced core).
 
@@ -265,11 +266,15 @@ def decode_frames_core(
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.n1 // 2
 
+    taps = {}
+
     # 1. inverse coupling on raw residue (ref order: coupling before floor
     #    multiply, src/audio.rs:991-1039)
+    taps["residue_pre_inverse"] = fr["residue"]
     residue = inverse_coupling_batch(
         fr["residue"], mode, cs.coup_mag, cs.coup_ang, cs.coup_n
     )
+    taps["residue_post_inverse"] = residue
 
     # 2. floor curves
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
@@ -291,9 +296,11 @@ def decode_frames_core(
 
     # 3. spectra = floor x residue
     spectra = curve * residue
+    taps["pre_mdct"] = spectra
 
     # 4. IMDCT on the MXU
     audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
+    taps["post_mdct"] = audio
 
     # 5. window + overlap-add (parallel over packet time; the carry is a
     #    one-packet shift, not an accumulation)
@@ -301,6 +308,8 @@ def decode_frames_core(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
     )
+    if with_taps:
+        return (out, out_len, taps), carry
     if compact_cap is not None:
         pcm, total = compact_i16(out, out_len, compact_cap)
         return (pcm, total, out_len), carry
@@ -339,12 +348,12 @@ def predict_out_lens(cs: CompiledSetup, fr: dict, started: np.ndarray | bool):
     return lens, started_out
 
 
-@partial(jax.jit, static_argnames=("with_i16", "compact_cap"))
+@partial(jax.jit, static_argnames=("with_i16", "compact_cap", "with_taps"))
 def decode_frames(cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
-                  compact_cap: int | None = None):
+                  compact_cap: int | None = None, with_taps: bool = False):
     """Jitted single-stream chunk decode (see decode_frames_core)."""
     return decode_frames_core(cs, fr, carry, with_i16,
-                              compact_cap=compact_cap)
+                              compact_cap=compact_cap, with_taps=with_taps)
 
 
 # --------------------------------------------------------------------------- #

@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-__all__ = ["available", "NativeStream", "demux"]
+__all__ = ["available", "NativeStream", "NativeDecoder", "demux"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "liblewton_host.so")
 _lib = None
@@ -51,6 +51,17 @@ def _load():
         C.c_void_p, u8p, u64p, u64p, C.c_int,
         i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p,
     ]
+    lib.lt_decoder_new.restype = C.c_void_p
+    lib.lt_decoder_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
+                                   C.c_char_p, C.c_size_t]
+    lib.lt_decoder_free.argtypes = [C.c_void_p]
+    lib.lt_decoder_reset.argtypes = [C.c_void_p]
+    lib.lt_decoder_channels.restype = C.c_int
+    lib.lt_decoder_channels.argtypes = [C.c_void_p]
+    lib.lt_decoder_rate.restype = C.c_int
+    lib.lt_decoder_rate.argtypes = [C.c_void_p]
+    lib.lt_decoder_decode.restype = C.c_int
+    lib.lt_decoder_decode.argtypes = [C.c_void_p, u8p, C.c_size_t, f32p]
     lib.lt_ogg_new.restype = C.c_void_p
     lib.lt_ogg_new.argtypes = [u8p, C.c_size_t]
     lib.lt_ogg_free.argtypes = [C.c_void_p]
@@ -166,6 +177,50 @@ class NativeStream:
         )
         fr["valid"][:n] = status[:n] == 0
         return fr, status
+
+
+class NativeDecoder:
+    """Full native CPU decoder: packets -> planar f32 PCM (entropy +
+    synthesis in C++; FFT-based IMDCT). Same numerics contract as the
+    other backends (+/-2 i16 LSB vs libvorbis)."""
+
+    def __init__(self, ident_packet: bytes, setup_packet: bytes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("liblewton_host.so not built")
+        self._lib = lib
+        err = C.create_string_buffer(256)
+        ib = np.frombuffer(ident_packet, dtype=np.uint8)
+        sb = np.frombuffer(setup_packet, dtype=np.uint8)
+        self._h = lib.lt_decoder_new(_u8(ib), len(ident_packet), _u8(sb),
+                                     len(setup_packet), err, 256)
+        if not self._h:
+            from ..errors import BadHeader
+
+            raise BadHeader(err.value.decode() or "native header parse failed")
+        self.channels = lib.lt_decoder_channels(self._h)
+        self.sample_rate = lib.lt_decoder_rate(self._h)
+        self._buf = np.zeros(self.channels * 8192 * 3 // 4, np.float32)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lt_decoder_free(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.lt_decoder_reset(self._h)
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        """One packet -> planar f32 [C, out_len]. Raises on bad packets."""
+        pb = np.frombuffer(packet, dtype=np.uint8)
+        n = self._lib.lt_decoder_decode(self._h, _u8(pb), len(packet),
+                                        _ptr(self._buf, C.c_float))
+        if n < 0:
+            from ..errors import AudioBadFormat, AudioIsHeader
+
+            raise (AudioIsHeader() if n == -2
+                   else AudioBadFormat("undecodable packet"))
+        return self._buf[: self.channels * n].reshape(self.channels, n).copy()
 
 
 class NativePacket:

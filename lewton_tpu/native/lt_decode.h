@@ -1,0 +1,25 @@
+// Shared native decode context: parsed stream + per-packet entropy decode.
+#pragma once
+
+#include "lt_header.h"
+
+namespace lt {
+
+struct Stream {
+  IdentHeader ident;
+  SetupHeader setup;
+  // frame geometry
+  uint32_t channels, n0, n1, W, P, Omax;
+};
+
+enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
+
+// Entropy half: one packet -> dense frame slices (see lt_entropy.cc).
+int decode_packet(Stream* st, const uint8_t* pck, size_t len,
+                  int32_t* mode_out, uint8_t* prev_out, uint8_t* next_out,
+                  float* residue,                     // [C, W]
+                  uint8_t* f_used,                    // [C]
+                  int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted-x order
+                  float* f0_cosc, float* f0_amp);     // [C, Omax], [C]
+
+}  // namespace lt

@@ -7,7 +7,7 @@
 #include <cmath>
 #include <cstring>
 
-#include "lt_header.h"
+#include "lt_decode.h"
 
 namespace lt {
 
@@ -38,24 +38,14 @@ uint32_t render_point(uint32_t x0, uint32_t y0, uint32_t x1, uint32_t y1,
 
 }  // namespace
 
-struct Stream {
-  IdentHeader ident;
-  SetupHeader setup;
-  // frame geometry
-  uint32_t channels, n0, n1, W, P, Omax;
-};
-
-// status codes per packet
-enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
-
 // Decode floors + residues for one packet into the dense per-packet slices.
 // Returns a status code.
-static int decode_packet(Stream* st, const uint8_t* pck, size_t len,
-                         int32_t* mode_out, uint8_t* prev_out,
-                         uint8_t* next_out, float* residue,  // [C, W]
-                         uint8_t* f_kind,                    // [C]
-                         int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
-                         float* f0_cosc, float* f0_amp) {    // [C,Omax],[C]
+int decode_packet(Stream* st, const uint8_t* pck, size_t len,
+                  int32_t* mode_out, uint8_t* prev_out,
+                  uint8_t* next_out, float* residue,  // [C, W]
+                  uint8_t* f_kind,                    // [C]
+                  int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
+                  float* f0_cosc, float* f0_amp) {    // [C,Omax],[C]
   const uint32_t C = st->channels, W = st->W, P = st->P, Omax = st->Omax;
   memset(residue, 0, sizeof(float) * C * W);
   memset(f_kind, 0, C);

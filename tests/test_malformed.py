@@ -1,0 +1,107 @@
+"""Malformed-input robustness: errors, never crashes (fuzz-regression tier).
+
+The reference pins 12 fuzzer-minimized files and asserts clean errors or
+successful decode (lewton dev/cmp/tests/fuzzed.rs:14-49). Without network
+access, this suite derives a deterministic corruption corpus from the
+generated files: truncations, bit flips, header/lacing/CRC damage. Every
+variant must either decode or raise VorbisError/OggError — any other
+exception (or a crash) is a bug. The native backend must agree that the
+input is decodable or not without crashing the process.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lewton_tpu.errors import VorbisError
+from lewton_tpu.inside_ogg import OggStreamReader
+
+
+def _variants(data: bytes):
+    rng = np.random.RandomState(1234)
+    yield "trunc_header", data[:40]
+    yield "trunc_mid", data[: len(data) // 2]
+    yield "trunc_1byte", data[:-1]
+    yield "empty", b""
+    yield "garbage_prefix", b"\x00" * 100 + data
+    for i in range(8):
+        b = bytearray(data)
+        pos = int(rng.randint(0, len(data)))
+        b[pos] ^= 1 << int(rng.randint(0, 8))
+        yield f"bitflip_{pos}", bytes(b)
+    # corrupt the setup header region specifically (page 1 body)
+    b = bytearray(data)
+    for pos in range(120, min(200, len(b))):
+        b[pos] ^= 0xA5
+    yield "setup_scramble", bytes(b)
+
+
+def _decode_all(data, backend):
+    r = OggStreamReader(data, backend=backend)
+    total = 0
+    while True:
+        pck = r.read_next_audio_packet()
+        if pck is None:
+            return total
+        total += r.dec_packet_planar_f32(pck).shape[1]
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_malformed_never_crashes(corpus_dir, backend):
+    if backend == "native":
+        from lewton_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+    data = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
+    ok = bad = 0
+    for name, variant in _variants(data):
+        try:
+            _decode_all(variant, backend)
+            ok += 1
+        except VorbisError:
+            bad += 1
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"variant {name} raised non-Vorbis error: {type(e).__name__}: {e}"
+            ) from e
+    assert ok + bad == 14
+
+
+def test_truncated_packets_decode_cleanly(corpus_dir):
+    """EOP inside floors/residues is data, not error (spec 1.3.2): packets
+    cut mid-body must still decode (zero-filled), matching the reference's
+    graceful-degradation semantics."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    r = OggStreamReader(path)
+    pcks = []
+    while (p := r.read_next_audio_packet()) is not None:
+        pcks.append(p.data)
+    from lewton_tpu.audio import PreviousWindowRight, read_audio_packet_generic
+
+    pwr = PreviousWindowRight()
+    decoded = 0
+    for p in pcks[:20]:
+        cut = p[: max(1, len(p) * 2 // 3)]
+        try:
+            out = read_audio_packet_generic(
+                r.ident_hdr, r.setup_hdr, cut, pwr, fmt="planar_f32"
+            )
+            decoded += 1
+        except VorbisError:
+            pass
+    assert decoded >= 15  # the vast majority must decode
+
+
+def test_bad_audio_packet_errors(corpus_dir):
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    r = OggStreamReader(path)
+    from lewton_tpu.audio import PreviousWindowRight, read_audio_packet
+    from lewton_tpu.errors import AudioBadFormat, AudioIsHeader
+
+    pwr = PreviousWindowRight()
+    with pytest.raises(AudioIsHeader):
+        read_audio_packet(r.ident_hdr, r.setup_hdr, b"\x01vorbis", pwr)
+    with pytest.raises((AudioBadFormat,)):
+        read_audio_packet(r.ident_hdr, r.setup_hdr, b"", pwr)
