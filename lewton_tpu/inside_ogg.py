@@ -80,6 +80,7 @@ class OggStreamReader:
         self.stream_serial = serial
         self.pwr = PreviousWindowRight()
         self._native_dec = None
+        self._decode_started = False
         # Deliberate improvement over the reference: start granule tracking
         # at 0 so end-of-stream truncation works even when all audio sits on
         # a single page (the reference only learns absgp at the first page
@@ -95,6 +96,7 @@ class OggStreamReader:
 
     def _decode(self, packet: bytes) -> np.ndarray:
         """Decode one packet to planar f32 [ch, out]."""
+        self._decode_started = True
         if self.backend == "native":
             if self._native_dec is None:
                 from . import native
@@ -108,7 +110,9 @@ class OggStreamReader:
     def _reset_decode_state(self) -> None:
         """Reset the inter-packet window state (all backends)."""
         self.pwr = PreviousWindowRight()
-        self._native_dec = None
+        if self._native_dec is not None:
+            self._native_dec.reset()
+        self._decode_started = False
 
     def read_next_audio_packet(self) -> Packet | None:
         """Next audio packet of the current stream; handles chained-ogg
@@ -134,6 +138,7 @@ class OggStreamReader:
                 self.comment_hdr = comment
                 self.setup_hdr = setup
                 self._raw_headers = (pck.data, pck3.data)
+                self._native_dec = None  # new link, new setup tables
                 self._reset_decode_state()
                 self.stream_serial = pck3.stream_serial
                 # granule positions restart at 0 in each chain link
@@ -247,7 +252,7 @@ class OggStreamReader:
         # as such so skip positions are sample-accurate from stream start
         # (deliberate fix of a reference quirk — lewton counts the first
         # packet's nominal length, see its get_decoded_sample_count docs).
-        first_primes = self.pwr.is_empty()
+        first_primes = not self._decode_started
         while True:
             next_pck = self.read_next_audio_packet()
             if next_pck is None:

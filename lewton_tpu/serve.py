@@ -1,0 +1,206 @@
+"""Streaming batch scheduler: continuous many-stream decode serving.
+
+The reference's async API (lewton src/inside_ogg.rs:316-451) adapts one
+stream to an event loop. The TPU-native analog is a scheduler that keeps
+the chip busy across MANY concurrent streams: streams register and retire
+at any time, each device step decodes up to `chunk` packets from every
+active stream of a setup group in one batched call, and PCM is polled per
+stream as it becomes available.
+
+Streams are grouped by their setup packet bytes (a shared `CompiledSetup`
+is what makes the batch a single compiled program); each group keeps
+fixed-capacity slot state (window carry per slot) so step shapes — and
+therefore compilations — are stable. Idle slots ride along as `valid=False`
+packets, which the pipeline treats as no-ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .header import read_header_ident
+from .models.decoder import (
+    StreamDecoder,
+    predict_out_lens,
+)
+from .ops.windowing import init_window_carry
+from .parallel.batch import decode_chunk_batch
+
+__all__ = ["StreamingScheduler"]
+
+
+@dataclass
+class _StreamState:
+    sid: object
+    slot: int
+    packets: list  # pending Packet objects (with metadata)
+    fed: int = 0  # packets consumed so far
+    out: list = field(default_factory=list)  # decoded np arrays [n, C] i16
+    cur_absgp: int | None = 0
+    done: bool = False
+
+
+class _Group:
+    """All streams sharing one setup: one compiled batch, slotted state."""
+
+    def __init__(self, ident_pck: bytes, setup_pck: bytes, capacity: int,
+                 chunk: int):
+        from .header import read_header_setup
+
+        ident = read_header_ident(ident_pck)
+        setup = read_header_setup(setup_pck, ident)
+        self.sd = StreamDecoder(ident, setup, chunk,
+                                raw_headers=(ident_pck, setup_pck))
+        self.cs = self.sd.cs
+        self.chunk = chunk
+        self.capacity = capacity
+        C, W = self.cs.channels, self.cs.n1 // 2
+        self.carry = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (capacity,) + x.shape),
+            init_window_carry(C, W),
+        )
+        self.started = np.zeros(capacity, bool)
+        self.streams: dict[int, _StreamState] = {}  # slot -> state
+        self.free = list(range(capacity))
+
+    def add(self, st: _StreamState) -> None:
+        st.slot = self.free.pop()
+        self.streams[st.slot] = st
+
+    def remove(self, st: _StreamState) -> None:
+        del self.streams[st.slot]
+        self.free.append(st.slot)
+        # reset the slot's carry for reuse
+        C, W = self.cs.channels, self.cs.n1 // 2
+        fresh = init_window_carry(C, W)
+        self.carry = tuple(
+            c.at[st.slot].set(f) for c, f in zip(self.carry, fresh)
+        )
+        self.started[st.slot] = False
+
+    def pending(self) -> bool:
+        return any(s.fed < len(s.packets) for s in self.streams.values())
+
+    def step(self) -> None:
+        """Decode up to `chunk` pending packets from every stream."""
+        if not self.pending():
+            return
+        S, T = self.capacity, self.chunk
+        batches: dict[int, list] = {}
+        for slot, st in self.streams.items():
+            batch = st.packets[st.fed : st.fed + T]
+            if batch:
+                batches[slot] = batch
+        # host entropy into [S, T, ...] frames (idle slots stay zero/invalid)
+        fr = (self.sd._native.frame_buffers(T, lead=(S,))
+              if self.sd._native is not None else None)
+        if fr is None:
+            zero = self.sd.entropy_chunk([])
+            fr = {k: np.zeros((S,) + v.shape, v.dtype)
+                  for k, v in zero.items()}
+        for slot, batch in batches.items():
+            data = [p.data for p in batch]
+            if self.sd._native is not None:
+                view = {k: v[slot] for k, v in fr.items()}
+                self.sd._native.decode_chunk(data, T, out=view)
+            else:
+                sub = self.sd.entropy_chunk(data)
+                for k in fr:
+                    fr[k][slot] = sub[k]
+        lens, self.started = predict_out_lens(self.cs, fr, self.started)
+        cap = int(-(-(int(lens.sum(-1).max()) + self.cs.n1) // 8192) * 8192)
+        frd = {k: jnp.asarray(v) for k, v in fr.items()}
+        (pcm, total, _), self.carry = decode_chunk_batch(
+            self.cs, frd, self.carry, compact_cap=cap
+        )
+        pcm = np.asarray(pcm)  # [S, cap, C] i16
+        for slot, batch in batches.items():
+            st = self.streams[slot]
+            pos = 0
+            for t, pck in enumerate(batch):
+                n = int(lens[slot, t])
+                out = pcm[slot, pos : pos + n]
+                pos += n
+                out = self._apply_absgp(st, pck, out)
+                if out.shape[0]:
+                    st.out.append(out)
+            st.fed += len(batch)
+            if st.fed >= len(st.packets) and st.packets and \
+                    st.packets[-1].last_in_stream:
+                st.done = True
+
+    @staticmethod
+    def _apply_absgp(st: _StreamState, pck, out: np.ndarray) -> np.ndarray:
+        """End-of-stream truncation + granule bookkeeping (same rules as
+        OggStreamReader._apply_absgp, over [n, C] PCM)."""
+        if st.cur_absgp is not None and pck.last_in_stream:
+            target = max(0, (pck.absgp_page or 0) - st.cur_absgp)
+            out = out[:target]
+        if pck.last_in_page and pck.absgp_page is not None:
+            st.cur_absgp = pck.absgp_page
+        elif st.cur_absgp is not None:
+            st.cur_absgp += out.shape[0]
+        return out
+
+
+class StreamingScheduler:
+    """Register Ogg Vorbis streams, step the device, poll PCM per stream."""
+
+    def __init__(self, capacity: int = 16, chunk: int = 16):
+        self.capacity = capacity
+        self.chunk = chunk
+        self.groups: dict[bytes, _Group] = {}
+        self.streams: dict[object, tuple[_Group, _StreamState]] = {}
+
+    def add_stream(self, sid, ogg_bytes: bytes) -> None:
+        """Register a whole Ogg stream (single logical stream) for decode."""
+        if sid in self.streams:
+            raise ValueError(f"stream id {sid!r} already registered")
+        from .ogg import PacketReader
+
+        rdr = PacketReader(ogg_bytes)
+        first = rdr.read_packet_expected()
+        serial = first.stream_serial
+        pcks = [first]
+        while (p := rdr.read_packet()) is not None:
+            if p.stream_serial == serial:
+                pcks.append(p)
+        ident_pck, setup_pck = pcks[0].data, pcks[2].data
+        key = setup_pck
+        grp = self.groups.get(key)
+        if grp is None:
+            grp = _Group(ident_pck, setup_pck, self.capacity, self.chunk)
+            self.groups[key] = grp
+        if not grp.free:
+            raise RuntimeError("scheduler group at capacity")
+        st = _StreamState(sid=sid, slot=-1, packets=pcks[3:])
+        grp.add(st)
+        self.streams[sid] = (grp, st)
+
+    def step(self) -> bool:
+        """One device step over every group with pending work. Returns
+        whether any work remains."""
+        for grp in self.groups.values():
+            grp.step()
+        return any(g.pending() for g in self.groups.values())
+
+    def poll(self, sid) -> np.ndarray:
+        """Drain decoded PCM for a stream: interleaved i16 [n, C]."""
+        grp, st = self.streams[sid]
+        if not st.out:
+            return np.zeros((0, grp.cs.channels), np.int16)
+        out = np.concatenate(st.out, axis=0)
+        st.out.clear()
+        return out
+
+    def is_done(self, sid) -> bool:
+        _, st = self.streams[sid]
+        return st.done and not st.out
+
+    def remove_stream(self, sid) -> None:
+        grp, st = self.streams.pop(sid)
+        grp.remove(st)

@@ -60,3 +60,32 @@ def test_get_last_absgp_progresses(corpus_dir):
         seen.append(r.get_last_absgp())
     assert seen[-1] == 132300
     assert all(b >= a for a, b in zip(seen, seen[1:]))
+
+
+def test_skip_and_seek_native_backend(corpus_dir):
+    """skip/seek must work identically on the native (C++) backend."""
+    from lewton_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    a = OggStreamReader(path, backend="numpy")
+    b = OggStreamReader(path, backend="native")
+    pa, la = a.skip_samples_linear(30000)
+    pb, lb = b.skip_samples_linear(30000)
+    assert la == lb
+    assert pa.shape == pb.shape
+    if pa.size:
+        assert np.abs(pa.astype(np.int32) - pb.astype(np.int32)).max() <= 1
+    a.seek_absgp_pg(60000)
+    b.seek_absgp_pg(60000)
+    while True:
+        xa, xb = a.read_dec_packet(), b.read_dec_packet()
+        if xa is None:
+            assert xb is None
+            break
+        assert xa.shape == xb.shape
+        if xa.size:
+            assert np.abs(xa.astype(np.int32) - xb.astype(np.int32)).max() <= 1
