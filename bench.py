@@ -34,7 +34,21 @@ def main() -> None:
         help="end-to-end: Ogg demux + native entropy + device synthesis "
         "on a real corpus file, batch of --streams copies",
     )
+    ap.add_argument(
+        "--check", action="store_true",
+        help="run corpus conformance on the CURRENT platform (use on real "
+        "TPU: CPU tests cannot catch TPU-only numerics like bf16 matmuls)",
+    )
+    ap.add_argument("--imdct-precision", default=None,
+                    choices=["default", "high", "highest"])
     args = ap.parse_args()
+    if args.imdct_precision:
+        import lewton_tpu.ops.imdct as _im
+
+        _im.PRECISION = args.imdct_precision
+    if args.check:
+        check_conformance(args)
+        return
     if args.e2e:
         bench_e2e(args)
         return
@@ -98,6 +112,45 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+
+
+def check_conformance(args) -> None:
+    """Decode the corpus with the jax backend on the current platform and
+    report per-file max deviation vs the libvorbis goldens."""
+    import json as _json
+
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lewton_tpu.inside_ogg import OggStreamReader
+    from tools import corpus
+
+    root = "tests/data/corpus"
+    corpus.ensure_corpus(root)
+    names = [
+        "mono_8k_q-1", "stereo_44k_q3", "stereo_44k_q10", "stereo_48k_q5",
+        "ch6_44k_q3", "ch4_32k_q2", "stereo_44k_managed", "tiny_44k",
+        "silence_44k", "impulses_44k", "chained_44k",
+    ]
+    worst, bad = 0, 0
+    for name in names:
+        out = OggStreamReader(f"{root}/{name}.ogg", backend="jax").read_all_i16()
+        g = np.load(f"{root}/{name}.golden.npy")
+        d = np.abs(out.astype(np.int32) - g.astype(np.int32))
+        worst = max(worst, int(d.max()))
+        bad += int((d > 2).sum())
+        print(f"  {name}: maxdiff {int(d.max())}, >2: {int((d > 2).sum())}")
+    print(_json.dumps({
+        "metric": "conformance_max_lsb_diff",
+        "value": worst,
+        "unit": "i16_lsb",
+        "vs_baseline": 1.0 if bad == 0 and worst <= 2 else 0.0,
+        "detail": {"platform": jax.devices()[0].platform,
+                   "samples_over_2lsb": bad},
+    }))
 
 
 def bench_e2e(args) -> None:

@@ -242,7 +242,10 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     einsum for the handful of modes Vorbis allows. Exact for ints < 2^24."""
     m = table.shape[0]
     oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
-    res = jnp.einsum("tm,m...->t...", oh, table.astype(jnp.float32))
+    # HIGHEST precision: the TPU default is bf16, which would quantize
+    # integer-valued tables (floor post positions!) and corrupt the curve
+    res = jnp.einsum("tm,m...->t...", oh, table.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     if table.dtype == jnp.bool_:
         return res > 0.5
     return res.astype(table.dtype)

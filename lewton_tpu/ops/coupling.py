@@ -36,8 +36,10 @@ def inverse_coupling_batch(
         # one-hot channel select/scatter: TPU-friendly (no row gathers)
         oh_m = (mag[:, None] == cidx).astype(res.dtype)  # [T, C]
         oh_a = (ang[:, None] == cidx).astype(res.dtype)
-        m = jnp.einsum("tc,tcw->tw", oh_m, res)
-        a = jnp.einsum("tc,tcw->tw", oh_a, res)
+        # HIGHEST precision: TPU-default bf16 would round residue values
+        hp = jax.lax.Precision.HIGHEST
+        m = jnp.einsum("tc,tcw->tw", oh_m, res, precision=hp)
+        a = jnp.einsum("tc,tcw->tw", oh_a, res, precision=hp)
         mpos = m > 0
         apos = a > 0
         new_m = jnp.where(mpos, jnp.where(apos, m, m + a), jnp.where(apos, m, m - a))

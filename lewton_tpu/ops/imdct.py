@@ -22,6 +22,15 @@ import jax.numpy as jnp
 __all__ = ["imdct_batch"]
 
 
+#: matmul precision for the transform. On TPU: "high" = 3-pass bf16
+#: (default: passes the +/-2 i16 LSB on-chip conformance incl. the impulse
+#: stress vectors at worst-case 2), "highest" = 6-pass bf16 (~f32, 1.9x
+#: slower, worst-case 1), "default" = 1-pass bf16 (FAILS conformance, ~120
+#: LSB — do not use). Re-verify with `python bench.py --check` on the real
+#: chip after changing; CPU tests cannot see bf16 effects.
+PRECISION = "high"
+
+
 def imdct_batch(
     spectra: jnp.ndarray,  # f32 [T, C, n1/2] (short packets use first n0/2)
     blockflag: jnp.ndarray,  # i32 [T]
@@ -31,15 +40,16 @@ def imdct_batch(
     """Returns f32 [T, C, n1]; short-block outputs occupy [:, :, :n0]."""
     n0 = m0.shape[1]
     n1 = m1.shape[1]
+    prec = jax.lax.Precision(PRECISION)
     long_out = jnp.einsum(
-        "tck,kn->tcn", spectra, m1, precision=jax.lax.Precision.HIGHEST,
+        "tck,kn->tcn", spectra, m1, precision=prec,
         preferred_element_type=jnp.float32,
     )
     if n0 == n1:
         return long_out
     short_out = jnp.einsum(
         "tck,kn->tcn", spectra[:, :, : n0 // 2], m0,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32,
     )
     pad = [(0, 0), (0, 0), (0, n1 - n0)]
