@@ -67,16 +67,28 @@ class OggStreamReader:
             if isinstance(source, str):
                 with open(source, "rb") as f:
                     source = f.read()
-            self.rdr = PacketReader(source)
-        elif isinstance(source, PacketReader):
+            self.rdr = self._make_reader(bytes(source))
+        elif hasattr(source, "read_packet"):
             self.rdr = source
         else:
-            self.rdr = PacketReader(source.read())
-        headers, serial = read_headers(self.rdr)
-        self.ident_hdr = headers.ident
-        self.comment_hdr = headers.comment
-        self.setup_hdr = headers.setup
-        self._raw_headers = (headers.raw_ident, headers.raw_setup)
+            self.rdr = self._make_reader(source.read())
+        # Light header read: ident + comment parse eagerly, setup lazily —
+        # the codebook/Huffman build is the expensive part and the native
+        # backend has its own (the C++ parse). `setup_hdr` is a property.
+        pck = self.rdr.read_packet_expected()
+        self.ident_hdr = read_header_ident(pck.data)
+        serial = pck.stream_serial
+        raw_ident = pck.data
+        pck = self.rdr.read_packet_expected()
+        while pck.stream_serial != serial:
+            pck = self.rdr.read_packet_expected()
+        self.comment_hdr = read_header_comment(pck.data)
+        pck = self.rdr.read_packet_expected()
+        while pck.stream_serial != serial:
+            pck = self.rdr.read_packet_expected()
+        self.rdr.delete_unread_packets()
+        self._setup_hdr = None
+        self._raw_headers = (raw_ident, pck.data)
         self.stream_serial = serial
         self.pwr = PreviousWindowRight()
         self._native_dec = None
@@ -93,6 +105,31 @@ class OggStreamReader:
         self._fresh_link = False
 
     # ------------------------------------------------------------------ #
+
+    @property
+    def setup_hdr(self) -> "SetupHeader":
+        if self._setup_hdr is None:
+            self._setup_hdr = read_header_setup(
+                self._raw_headers[1], self.ident_hdr
+            )
+        return self._setup_hdr
+
+    @setup_hdr.setter
+    def setup_hdr(self, value) -> None:
+        self._setup_hdr = value
+
+    @staticmethod
+    def _make_reader(data: bytes):
+        """Prefer the native (C++) demuxer when built — identical packets
+        (parity-tested), ~7x faster page parse."""
+        from . import native
+
+        try:
+            if native.available():
+                return native.NativePacketReader(data)
+        except Exception:  # noqa: BLE001 — fall back to the reference demux
+            pass
+        return PacketReader(data)
 
     def _decode(self, packet: bytes) -> np.ndarray:
         """Decode one packet to planar f32 [ch, out]."""
@@ -133,10 +170,9 @@ class OggStreamReader:
                 pck2 = self.rdr.read_packet_expected()
                 comment = read_header_comment(pck2.data)
                 pck3 = self.rdr.read_packet_expected()
-                setup = read_header_setup(pck3.data, ident)
                 self.ident_hdr = ident
                 self.comment_hdr = comment
-                self.setup_hdr = setup
+                self._setup_hdr = None  # lazy parse (see setup_hdr property)
                 self._raw_headers = (pck.data, pck3.data)
                 self._native_dec = None  # new link, new setup tables
                 self._reset_decode_state()
@@ -185,12 +221,57 @@ class OggStreamReader:
         """
         if self.backend == "jax":
             return self._read_all_jax()
+        if self.backend == "native":
+            return self._read_all_native()
         chunks = []
         while (pck := self.read_next_audio_packet()) is not None:
             chunks.append(self.dec_packet_planar_f32(pck))
         if not chunks:
             return np.zeros((self.ident_hdr.channels, 0), np.float32)
         return np.concatenate(chunks, axis=1)
+
+    def _read_all_native(self) -> np.ndarray:
+        """Whole-stream decode through one native call per chain link."""
+        from . import native
+
+        outs: list[np.ndarray] = []
+        dec = native.NativeDecoder(*self._raw_headers)
+        buf: list[Packet] = []
+
+        def flush(d):
+            if not buf:
+                return
+            pcm, lens = d.decode_many([p.data for p in buf])
+            ch = d.channels
+            flat = pcm.reshape(len(buf), -1)
+            for i, pck in enumerate(buf):
+                n = int(lens[i])
+                if n < 0:
+                    from .errors import AudioBadFormat
+
+                    raise AudioBadFormat("undecodable packet")
+                # rows are packed [C, n] at the packet's own length
+                outs.append(
+                    self._apply_absgp(pck, flat[i, : ch * n].reshape(ch, n))
+                )
+            buf.clear()
+
+        while (pck := self.read_next_audio_packet()) is not None:
+            if self._fresh_link:
+                flush(dec)
+                dec = native.NativeDecoder(*self._raw_headers)
+                self._fresh_link = False
+            buf.append(pck)
+        flush(dec)
+        if not outs:
+            return np.zeros((self.ident_hdr.channels, 0), np.float32)
+        ch = max(o.shape[0] for o in outs)
+        outs = [
+            o if o.shape[0] == ch
+            else np.pad(o, [(0, ch - o.shape[0]), (0, 0)])
+            for o in outs
+        ]
+        return np.concatenate(outs, axis=1)
 
     def _read_all_jax(self) -> np.ndarray:
         from .models.decoder import StreamDecoder
@@ -230,7 +311,7 @@ class OggStreamReader:
     def read_all_i16(self) -> np.ndarray:
         """Convenience: decode the whole stream to interleaved i16
         [samples, channels] (constant channel count assumed)."""
-        if self.backend == "jax":
+        if self.backend in ("jax", "native"):
             return samples_mod.to_i16(self.read_all_planar_f32()).T
         chunks = []
         while (p := self.read_dec_packet_itl()) is not None:

@@ -60,8 +60,12 @@ def _load():
     lib.lt_decoder_channels.argtypes = [C.c_void_p]
     lib.lt_decoder_rate.restype = C.c_int
     lib.lt_decoder_rate.argtypes = [C.c_void_p]
+    lib.lt_decoder_n1.restype = C.c_int
+    lib.lt_decoder_n1.argtypes = [C.c_void_p]
     lib.lt_decoder_decode.restype = C.c_int
     lib.lt_decoder_decode.argtypes = [C.c_void_p, u8p, C.c_size_t, f32p]
+    lib.lt_decoder_decode_many.argtypes = [
+        C.c_void_p, u8p, u64p, u64p, C.c_int, f32p, i32p]
     lib.lt_ogg_new.restype = C.c_void_p
     lib.lt_ogg_new.argtypes = [u8p, C.c_size_t]
     lib.lt_ogg_free.argtypes = [C.c_void_p]
@@ -200,6 +204,7 @@ class NativeDecoder:
             raise BadHeader(err.value.decode() or "native header parse failed")
         self.channels = lib.lt_decoder_channels(self._h)
         self.sample_rate = lib.lt_decoder_rate(self._h)
+        self.n1 = lib.lt_decoder_n1(self._h)
         self._buf = np.zeros(self.channels * 8192 * 3 // 4, np.float32)
 
     def __del__(self):
@@ -209,6 +214,27 @@ class NativeDecoder:
 
     def reset(self) -> None:
         self._lib.lt_decoder_reset(self._h)
+
+    def decode_many(self, packets: list[bytes]):
+        """Decode a packet run in one native call.
+
+        Returns (pcm [n, C, 3*n1/4] f32, out_lens [n] i32) — out_lens[i] is
+        the per-channel sample count, or -1 (bad) / -2 (header packet)."""
+        n = len(packets)
+        row = np.zeros((n, self.channels, 3 * self.n1 // 4), np.float32)
+        out_lens = np.zeros(n, np.int32)
+        if n == 0:
+            return row, out_lens
+        buf = np.frombuffer(b"".join(packets), dtype=np.uint8)
+        lens = np.array([len(p) for p in packets], dtype=np.uint64)
+        offs = np.zeros(n, dtype=np.uint64)
+        if n > 1:
+            offs[1:] = np.cumsum(lens)[:-1]
+        self._lib.lt_decoder_decode_many(
+            self._h, _u8(buf), _ptr(offs, C.c_uint64), _ptr(lens, C.c_uint64),
+            n, _ptr(row, C.c_float), _ptr(out_lens, C.c_int32),
+        )
+        return row, out_lens
 
     def decode(self, packet: bytes) -> np.ndarray:
         """One packet -> planar f32 [C, out_len]. Raises on bad packets."""
@@ -236,6 +262,59 @@ class NativePacket:
         self.last_in_page = bool(flags & 8)
         self.absgp_page = int(absgp) if flags & 16 else None
         self.page_granule = int(pgran) if flags & 32 else None
+
+
+class NativePacketReader:
+    """PacketReader-compatible view over the native demuxer (eager parse).
+
+    Same surface as lewton_tpu.ogg.PacketReader: read_packet,
+    read_packet_expected, delete_unread_packets, seek_absgp.
+    """
+
+    def __init__(self, data: bytes):
+        self._pcks = demux(data)
+        self._i = 0
+
+    def read_packet(self):
+        if self._i >= len(self._pcks):
+            return None
+        p = self._pcks[self._i]
+        self._i += 1
+        return p
+
+    def read_packet_expected(self):
+        p = self.read_packet()
+        if p is None:
+            from ..errors import OggError
+
+            raise OggError("unexpected end of ogg stream")
+        return p
+
+    def delete_unread_packets(self) -> None:
+        # eager reader: packets are already reassembled; header pages never
+        # share a page with audio in valid streams, so nothing to drop
+        pass
+
+    def seek_absgp(self, absgp: int, serial: int | None = None) -> None:
+        """Position at the start of the earliest page whose granule is
+        >= absgp (parity with ogg crate seek_absgp semantics)."""
+        target = None
+        last_match = 0
+        for i, p in enumerate(self._pcks):
+            if p.page_granule is None:
+                continue
+            if serial is not None and p.stream_serial != serial:
+                continue
+            if p.page_granule >= absgp:
+                target = i
+                break
+            last_match = i
+        if target is None:
+            target = last_match
+        # walk back to the first packet of that page
+        while target > 0 and not self._pcks[target - 1].last_in_page:
+            target -= 1
+        self._i = target
 
 
 def demux(data: bytes) -> list[NativePacket]:

@@ -109,10 +109,18 @@ BsCache* bs_cache(std::map<uint32_t, BsCache>& m, uint32_t n) {
   return &c;
 }
 
+struct ImdctScratch {
+  std::vector<float> vr, vi, d;
+};
+
 // IMDCT: X[M] spectral -> y[n], n = 2M (in caller buffers)
-void imdct(const BsCache& c, const float* X, uint32_t M, float* y) {
+void imdct(const BsCache& c, const float* X, uint32_t M, float* y,
+           ImdctScratch& s) {
   uint32_t P = M / 2, Mh = M / 2;
-  std::vector<float> vr(P), vi(P), d(M);
+  s.vr.resize(P);
+  s.vi.resize(P);
+  s.d.resize(M);
+  std::vector<float>&vr = s.vr, &vi = s.vi, &d = s.d;
   for (uint32_t p = 0; p < P; ++p) {
     float xr = X[2 * p];
     float xi = X[M - 1 - 2 * p];
@@ -153,6 +161,7 @@ struct Decoder {
   std::vector<float> residue, f0_cosc, f0_amp, curve, audio, out;
   std::vector<uint8_t> f_used, f1_flags;
   std::vector<int32_t> f1_ys;
+  ImdctScratch imdct_scratch;
 
   void reset() {
     plen = 0;
@@ -289,6 +298,7 @@ void lt_decoder_free(Decoder* d) { delete d; }
 void lt_decoder_reset(Decoder* d) { d->reset(); }
 int lt_decoder_channels(const Decoder* d) { return (int)d->st.channels; }
 int lt_decoder_rate(const Decoder* d) { return (int)d->st.ident.sample_rate; }
+int lt_decoder_n1(const Decoder* d) { return (int)d->st.n1; }
 
 // Decode one packet to planar f32 PCM. `pcm_out` must hold C * (3*n1/4)
 // floats. Returns sample count per channel (>=0), or -1 (bad packet),
@@ -359,7 +369,8 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
       }
       for (uint32_t i = 0; i < n2; ++i) spec[i] *= d->curve.data()[i];
     }
-    lt::imdct(*bc, spec, n2, d->audio.data() + (size_t)ch * n);
+    lt::imdct(*bc, spec, n2, d->audio.data() + (size_t)ch * n,
+              d->imdct_scratch);
   }
 
   // window geometry + overlap-add (ref: lewton src/audio.rs:1056-1154)
@@ -399,6 +410,21 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
   d->plen = nplen;
   d->started = true;
   return out_len;
+}
+
+// Decode n packets in one call. pcm_out is [n][C * stride] with
+// stride = 3*n1/4 (max per-channel output); out_lens[i] receives the
+// per-channel sample count, or -1/-2 for bad/header packets (window state
+// is unaffected by bad packets, matching per-packet semantics).
+void lt_decoder_decode_many(Decoder* d, const uint8_t* buf,
+                            const uint64_t* offs, const uint64_t* lens,
+                            int n, float* pcm_out, int32_t* out_lens) {
+  const size_t stride =
+      (size_t)d->st.channels * (3 * (size_t)d->st.n1 / 4);
+  for (int i = 0; i < n; ++i) {
+    out_lens[i] = lt_decoder_decode(d, buf + offs[i], lens[i],
+                                    pcm_out + (size_t)i * stride);
+  }
 }
 
 }  // extern "C"

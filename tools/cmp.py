@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Conformance / perf comparison harness (the reference's dev/cmp analog).
+
+Subcommands (mirroring dev/cmp/src/main.rs:18-94):
+  vals  [--backend B]   decode the corpus, diff vs libvorbis goldens
+                        (+/-2 i16 LSB, zero mismatches allowed)
+  perf  [--backend B]   per-file decode timing
+  bench [--backend B]   aggregate decode-time ratio vs libvorbisfile
+
+Run from the repo root: python tools/cmp.py vals
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+ROOT = "tests/data/corpus"
+
+
+def _files():
+    from tools import corpus
+
+    corpus.ensure_corpus(ROOT)
+    return sorted(
+        f[:-4] for f in os.listdir(ROOT) if f.endswith(".ogg")
+    )
+
+
+def cmd_vals(args) -> int:
+    from lewton_tpu.inside_ogg import OggStreamReader
+
+    failed = 0
+    for name in _files():
+        golden = np.load(f"{ROOT}/{name}.golden.npy")
+        out = OggStreamReader(f"{ROOT}/{name}.ogg",
+                              backend=args.backend).read_all_i16()
+        if out.shape != golden.shape:
+            print(f"  {name}: SHAPE MISMATCH {out.shape} vs {golden.shape}")
+            failed += 1
+            continue
+        d = np.abs(out.astype(np.int32) - golden.astype(np.int32))
+        bad = int((d > 2).sum())
+        status = "ok" if bad == 0 else f"FAIL ({bad} samples > 2 LSB)"
+        print(f"  {name}: maxdiff {int(d.max())} {status}")
+        failed += bad > 0
+    print(f"{'PASS' if failed == 0 else 'FAIL'}: "
+          f"{len(_files()) - failed}/{len(_files())} files within +/-2 LSB")
+    return 1 if failed else 0
+
+
+def cmd_perf(args) -> int:
+    from lewton_tpu.inside_ogg import OggStreamReader
+
+    for name in _files():
+        r = OggStreamReader(f"{ROOT}/{name}.ogg", backend=args.backend)
+        t0 = time.perf_counter()
+        pcm = r.read_all_i16()
+        dt = time.perf_counter() - t0
+        secs = pcm.shape[0] / r.ident_hdr.sample_rate
+        print(f"  {name}: {secs:6.2f}s audio in {dt * 1000:8.2f} ms "
+              f"({secs / dt:8.1f}x realtime)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """Aggregate decode-time ratio ours/libvorbisfile (dev/cmp bench)."""
+    from lewton_tpu.inside_ogg import OggStreamReader
+    from tools import vorbisref as vr
+
+    ratios = []
+    for name in _files():
+        path = f"{ROOT}/{name}.ogg"
+        t0 = time.perf_counter()
+        OggStreamReader(path, backend=args.backend).read_all_i16()
+        ours = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vr.decode_file_i16(path)
+        ref = time.perf_counter() - t0
+        ratios.append(ours / ref)
+        print(f"  {name}: ours {ours * 1000:7.2f} ms, "
+              f"libvorbis {ref * 1000:7.2f} ms, difference={ours / ref:.2f}x")
+    agg = float(np.mean(ratios))
+    print(f"aggregate difference={agg:.2f}x (ours/libvorbis; <1 is faster)")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for c in ("vals", "perf", "bench"):
+        p = sub.add_parser(c)
+        p.add_argument("--backend", default="native",
+                       choices=["numpy", "native", "jax"])
+    args = ap.parse_args()
+    return {"vals": cmd_vals, "perf": cmd_perf, "bench": cmd_bench}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
