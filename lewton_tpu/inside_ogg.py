@@ -365,6 +365,38 @@ class OggStreamReader:
     def get_last_absgp(self) -> int | None:
         return self.cur_absgp
 
+    # ------------------------------------------------------------------ #
+    # Checkpoint/resume: the resumable decode state is exactly the window
+    # carry + granule position (SURVEY.md §5 "checkpoint/resume"; ref state
+    # is PreviousWindowRight + cur_absgp, lewton src/inside_ogg.rs:67-76).
+
+    def save_decode_state(self) -> dict:
+        """Snapshot (window carry, granule). Does not capture the container
+        read position — pair with your own byte offset for full resume."""
+        state = {"cur_absgp": self.cur_absgp, "backend": self.backend,
+                 "started": self._decode_started}
+        if self.backend == "native" and self._native_dec is not None:
+            state["native"] = self._native_dec.save_state()
+        else:
+            state["pwr"] = (
+                None if self.pwr.data is None else self.pwr.data.copy()
+            )
+        return state
+
+    def restore_decode_state(self, state: dict) -> None:
+        self.cur_absgp = state["cur_absgp"]
+        self._decode_started = state["started"]
+        if "native" in state:
+            if self._native_dec is None:
+                from . import native
+
+                self._native_dec = native.NativeDecoder(*self._raw_headers)
+            self._native_dec.load_state(state["native"])
+        else:
+            self.pwr = PreviousWindowRight(
+                None if state.get("pwr") is None else state["pwr"].copy()
+            )
+
     def seek_absgp_pg(self, absgp: int) -> None:
         """Page-granularity seek; resets decode state
         (ref: lewton src/inside_ogg.rs:307-313)."""

@@ -409,16 +409,30 @@ class StreamDecoder:
         ]
         return pack_frames(self.cs, plans, self.chunk)
 
-    def entropy_chunk_batch(self, streams: list[list[bytes]]) -> dict:
+    def entropy_chunk_batch(self, streams: list[list[bytes]],
+                            threads: int = 8) -> dict:
         """Host half for one chunk of a stream batch: [S][<=T] packets ->
         dense frames with a leading stream axis, written in place (no
-        per-stream stacking copy when the native front-end is available)."""
+        per-stream stacking copy when the native front-end is available).
+
+        Streams entropy-decode in parallel — the native call releases the
+        GIL, and Vorbis has no inter-packet entropy state."""
         S = len(streams)
         if self._native is not None:
             fr = self._native.frame_buffers(self.chunk, lead=(S,))
-            for s, pcks in enumerate(streams):
+
+            def work(s):
                 view = {k: v[s] for k, v in fr.items()}
-                self._native.decode_chunk(pcks, self.chunk, out=view)
+                self._native.decode_chunk(streams[s], self.chunk, out=view)
+
+            if threads > 1 and S > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(threads, S)) as ex:
+                    list(ex.map(work, range(S)))
+            else:
+                for s in range(S):
+                    work(s)
             return fr
         frs = [self.entropy_chunk(pcks) for pcks in streams]
         return {k: np.stack([f[k] for f in frs]) for k in frs[0]}

@@ -66,6 +66,12 @@ def _load():
     lib.lt_decoder_decode.argtypes = [C.c_void_p, u8p, C.c_size_t, f32p]
     lib.lt_decoder_decode_many.argtypes = [
         C.c_void_p, u8p, u64p, u64p, C.c_int, f32p, i32p]
+    lib.lt_decoder_state_plen.restype = C.c_int
+    lib.lt_decoder_state_plen.argtypes = [C.c_void_p]
+    lib.lt_decoder_state_started.restype = C.c_int
+    lib.lt_decoder_state_started.argtypes = [C.c_void_p]
+    lib.lt_decoder_save_state.argtypes = [C.c_void_p, f32p]
+    lib.lt_decoder_load_state.argtypes = [C.c_void_p, f32p, C.c_int, C.c_int]
     lib.lt_ogg_new.restype = C.c_void_p
     lib.lt_ogg_new.argtypes = [u8p, C.c_size_t]
     lib.lt_ogg_free.argtypes = [C.c_void_p]
@@ -214,6 +220,22 @@ class NativeDecoder:
 
     def reset(self) -> None:
         self._lib.lt_decoder_reset(self._h)
+
+    def save_state(self):
+        """Snapshot the resumable decode state (window carry)."""
+        plen = self._lib.lt_decoder_state_plen(self._h)
+        started = bool(self._lib.lt_decoder_state_started(self._h))
+        pwr = np.zeros(self.channels * plen, np.float32)
+        if plen:
+            self._lib.lt_decoder_save_state(self._h, _ptr(pwr, C.c_float))
+        return {"pwr": pwr, "plen": plen, "started": started}
+
+    def load_state(self, state) -> None:
+        pwr = np.ascontiguousarray(state["pwr"], np.float32)
+        self._lib.lt_decoder_load_state(
+            self._h, _ptr(pwr, C.c_float), int(state["plen"]),
+            int(state["started"]),
+        )
 
     def decode_many(self, packets: list[bytes]):
         """Decode a packet run in one native call.

@@ -412,6 +412,20 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
   return out_len;
 }
 
+// ---- decode-state checkpoint (the reference's resumable state is exactly
+// PreviousWindowRight + granule bookkeeping, lewton src/inside_ogg.rs:67-76)
+int lt_decoder_state_plen(const Decoder* d) { return (int)d->plen; }
+int lt_decoder_state_started(const Decoder* d) { return d->started ? 1 : 0; }
+void lt_decoder_save_state(const Decoder* d, float* pwr_out) {
+  memcpy(pwr_out, d->pwr.data(), d->pwr.size() * sizeof(float));
+}
+void lt_decoder_load_state(Decoder* d, const float* pwr, int plen,
+                           int started) {
+  d->plen = (uint32_t)plen;
+  d->started = started != 0;
+  d->pwr.assign(pwr, pwr + (size_t)d->st.channels * plen);
+}
+
 // Decode n packets in one call. pcm_out is [n][C * stride] with
 // stride = 3*n1/4 (max per-channel output); out_lens[i] receives the
 // per-channel sample count, or -1/-2 for bad/header packets (window state

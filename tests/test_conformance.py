@@ -28,6 +28,10 @@ NAMES = [
     "silence_44k",
     "impulses_44k",
     "chained_44k",
+    "ch8_44k_q4",
+    "mono_11k_q0",
+    "stereo_22k_q0",
+    "long_44k_q2",
 ]
 
 

@@ -89,3 +89,23 @@ def test_skip_and_seek_native_backend(corpus_dir):
         assert xa.shape == xb.shape
         if xa.size:
             assert np.abs(xa.astype(np.int32) - xb.astype(np.int32)).max() <= 1
+
+
+def test_save_restore_decode_state(corpus_dir):
+    """Checkpoint/resume: decoding from a restored state reproduces the
+    PCM exactly (both backends)."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    for backend in ("numpy", "native"):
+        r = OggStreamReader(path, backend=backend)
+        for _ in range(10):
+            r.read_dec_packet()
+        state = r.save_decode_state()
+        next5 = [r.read_dec_packet() for _ in range(5)]
+        # rewind: fresh reader positioned identically by packet count
+        r2 = OggStreamReader(path, backend=backend)
+        for _ in range(10):
+            r2.read_next_audio_packet()
+        r2.restore_decode_state(state)
+        redo5 = [r2.read_dec_packet() for _ in range(5)]
+        for a, b in zip(next5, redo5):
+            np.testing.assert_array_equal(a, b, err_msg=backend)

@@ -17,7 +17,7 @@ import numpy as np
 
 from . import vorbisref as vr
 
-GENERATOR_VERSION = 4
+GENERATOR_VERSION = 5
 
 
 def _music(rate: int, seconds: float, channels: int, seed: int) -> np.ndarray:
@@ -86,6 +86,10 @@ SPECS = [
     ("silence_44k", dict(kind="silence", rate=44100, seconds=0.5, channels=2, quality=0.3)),
     ("impulses_44k", dict(kind="impulses", rate=44100, seconds=1.0, quality=0.4)),
     ("chained_44k", dict(kind="chained", rate=44100, seconds=0.7, channels=2, quality=0.3)),
+    ("ch8_44k_q4", dict(kind="music", rate=44100, seconds=0.8, channels=8, quality=0.4)),
+    ("mono_11k_q0", dict(kind="speech", rate=11025, seconds=1.2, quality=0.0)),
+    ("stereo_22k_q0", dict(kind="music", rate=22050, seconds=1.2, channels=2, quality=0.0)),
+    ("long_44k_q2", dict(kind="music", rate=44100, seconds=12.0, channels=2, quality=0.2)),
 ]
 
 
