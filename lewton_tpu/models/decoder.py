@@ -28,7 +28,7 @@ import numpy as np
 
 from ..audio import PacketPlan, decode_packet_entropy
 from ..header import Floor0, Floor1, IdentHeader, SetupHeader
-from ..ops.coupling import inverse_coupling_batch
+from ..ops.coupling import inverse_coupling_batch, inverse_coupling_static
 from ..ops.floor_curve import BIG_X, floor0_curve_batch, floor1_curve_batch
 from ..ops.imdct import imdct_batch
 from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
@@ -62,6 +62,9 @@ class CompiledSetup:
     has_floor1: bool
     db_c0: float  # inverse-dB exp constants (tables.floor1_db_exp_constants)
     db_c1: float
+    #: coupling steps as a static tuple when identical across all modes
+    #: (the common one-mapping case) — enables static-index coupling
+    static_coupling: tuple | None
     # stacked tables (leaves)
     mode_blockflag: jnp.ndarray  # i32 [M]
     f_is_floor1: jnp.ndarray  # bool [M, C]
@@ -86,7 +89,7 @@ class CompiledSetup:
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
-        "has_floor0", "has_floor1", "db_c0", "db_c1",
+        "has_floor0", "has_floor1", "db_c0", "db_c1", "static_coupling",
     )
 
     def tree_flatten(self):
@@ -167,12 +170,18 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     slope1 = window_slope(n1 // 2)
 
     db_c0, db_c1 = floor1_db_exp_constants()
+    step_lists = {
+        tuple(zip(setup.mappings[m.mapping].coupling_magnitude,
+                  setup.mappings[m.mapping].coupling_angle))
+        for m in setup.modes
+    }
+    static_coupling = step_lists.pop() if len(step_lists) == 1 else None
     dev = jnp.asarray
     return CompiledSetup(
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
         has_floor0=bool(f0s), has_floor1=bool(f1s),
-        db_c0=db_c0, db_c1=db_c1,
+        db_c0=db_c0, db_c1=db_c1, static_coupling=static_coupling,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
         ),
@@ -274,9 +283,12 @@ def decode_frames_core(
     # 1. inverse coupling on raw residue (ref order: coupling before floor
     #    multiply, src/audio.rs:991-1039)
     taps["residue_pre_inverse"] = fr["residue"]
-    residue = inverse_coupling_batch(
-        fr["residue"], mode, cs.coup_mag, cs.coup_ang, cs.coup_n
-    )
+    if cs.static_coupling is not None:
+        residue = inverse_coupling_static(fr["residue"], cs.static_coupling)
+    else:
+        residue = inverse_coupling_batch(
+            fr["residue"], mode, cs.coup_mag, cs.coup_ang, cs.coup_n
+        )
     taps["residue_post_inverse"] = residue
 
     # 2. floor curves

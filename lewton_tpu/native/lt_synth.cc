@@ -14,10 +14,12 @@
 //
 // (identity validated against the direct transform and the framework's
 // stb-derived IMDCT golden vectors; see tests/test_capi.py).
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <map>
 #include <memory>
+#include <thread>
 #include <vector>
 
 #include "lt_decode.h"
@@ -162,6 +164,9 @@ struct Decoder {
   std::vector<uint8_t> f_used, f1_flags;
   std::vector<int32_t> f1_ys;
   ImdctScratch imdct_scratch;
+  // lazily-built parallel workers for decode_many (own scratch + a copy of
+  // the read-only setup tables)
+  std::vector<std::unique_ptr<Decoder>> workers;
 
   void reset() {
     plen = 0;
@@ -300,11 +305,12 @@ int lt_decoder_channels(const Decoder* d) { return (int)d->st.channels; }
 int lt_decoder_rate(const Decoder* d) { return (int)d->st.ident.sample_rate; }
 int lt_decoder_n1(const Decoder* d) { return (int)d->st.n1; }
 
-// Decode one packet to planar f32 PCM. `pcm_out` must hold C * (3*n1/4)
-// floats. Returns sample count per channel (>=0), or -1 (bad packet),
-// -2 (header packet).
-int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
-                      float* pcm_out) {
+// Entropy + floors + coupling + IMDCT for one packet, into `audio`
+// ([C, n1] blocks, current block in [0, n)). No shared mutable state
+// beyond scratch in `d`, so distinct Decoder instances run in parallel.
+static int decode_packet_to_audio(Decoder* d, const uint8_t* pck, size_t len,
+                                  float* audio_out, uint8_t* bf_out,
+                                  uint8_t* pf_out, uint8_t* nf_out) {
   lt::Stream& st = d->st;
   const uint32_t C = st.channels, W = st.W, P = st.P;
   const uint32_t Om = st.Omax ? st.Omax : 1;
@@ -320,13 +326,15 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
       &st, pck, len, &mode_num, &prevf, &nextf, d->residue.data(),
       d->f_used.data(), d->f1_ys.data(), d->f1_flags.data(),
       d->f0_cosc.data(), d->f0_amp.data());
-  if (status == lt::LT_IS_HEADER) return -2;
-  if (status != lt::LT_OK) return -1;
+  if (status != lt::LT_OK) return status;
 
   const lt::Mode& mode = st.setup.modes[mode_num];
   const lt::Mapping& mapping = st.setup.mappings[mode.mapping];
   uint32_t n = mode.blockflag ? st.n1 : st.n0;
   uint32_t n2 = n / 2;
+  *bf_out = mode.blockflag;
+  *pf_out = prevf;
+  *nf_out = nextf;
 
   // inverse coupling (reverse order)
   for (size_t s = mapping.coupling_magnitude.size(); s-- > 0;) {
@@ -347,10 +355,9 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
     }
   }
 
-  // floor curve x residue -> spectra; IMDCT
+  // floor curve x residue -> spectra; IMDCT into caller [C, n1] blocks
   lt::BsCache* bc = lt::bs_cache(d->bs, n);
   d->curve.assign(n2, 0.0f);
-  d->audio.assign((size_t)C * n, 0.0f);
   for (uint32_t ch = 0; ch < C; ++ch) {
     float* spec = d->residue.data() + (size_t)ch * W;
     if (!d->f_used[ch]) {
@@ -369,13 +376,21 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
       }
       for (uint32_t i = 0; i < n2; ++i) spec[i] *= d->curve.data()[i];
     }
-    lt::imdct(*bc, spec, n2, d->audio.data() + (size_t)ch * n,
+    lt::imdct(*bc, spec, n2, audio_out + (size_t)ch * st.n1,
               d->imdct_scratch);
   }
+  return lt::LT_OK;
+}
 
-  // window geometry + overlap-add (ref: lewton src/audio.rs:1056-1154)
+// Sequential half: lap `audio` ([C, n1] blocks) against the carried right
+// half, emit PCM, save the new right region. Returns out_len or -1.
+static int overlap_add_block(Decoder* d, const float* audio, uint8_t bf,
+                             uint8_t prevf, uint8_t nextf, float* pcm_out) {
+  const lt::Stream& st = d->st;
+  const uint32_t C = st.channels;
   uint32_t n1 = st.n1, n0 = st.n0;
-  bool long_blk = mode.blockflag != 0;
+  uint32_t n = bf ? n1 : n0;
+  bool long_blk = bf != 0;
   uint32_t left_start = (long_blk && !prevf) ? (n1 - n0) >> 2 : 0;
   uint32_t right_start = (long_blk && !nextf) ? (3 * n1 - n0) >> 2 : n >> 1;
   uint32_t right_end = (long_blk && !nextf) ? (3 * n1 + n0) >> 2 : n;
@@ -389,7 +404,7 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
     if (plen > lslope.size()) return -1;  // malformed (slope too short)
     out_len = (int)(right_start - left_start);
     for (uint32_t ch = 0; ch < C; ++ch) {
-      const float* a = d->audio.data() + (size_t)ch * n;
+      const float* a = audio + (size_t)ch * n1;
       const float* pw = d->pwr.data() + (size_t)ch * plen;
       float* o = pcm_out + (size_t)ch * out_len;
       for (uint32_t i = 0; i < (uint32_t)out_len; ++i) {
@@ -404,12 +419,27 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
   std::vector<float> np((size_t)C * nplen);
   for (uint32_t ch = 0; ch < C; ++ch)
     memcpy(np.data() + (size_t)ch * nplen,
-           d->audio.data() + (size_t)ch * n + right_start,
+           audio + (size_t)ch * n1 + right_start,
            sizeof(float) * nplen);
   d->pwr = std::move(np);
   d->plen = nplen;
   d->started = true;
   return out_len;
+}
+
+// Decode one packet to planar f32 PCM. `pcm_out` must hold C * (3*n1/4)
+// floats. Returns sample count per channel (>=0), or -1 (bad packet),
+// -2 (header packet).
+int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
+                      float* pcm_out) {
+  const uint32_t C = d->st.channels, n1 = d->st.n1;
+  d->audio.assign((size_t)C * n1, 0.0f);
+  uint8_t bf = 0, pf = 0, nf = 0;
+  int status =
+      decode_packet_to_audio(d, pck, len, d->audio.data(), &bf, &pf, &nf);
+  if (status == lt::LT_IS_HEADER) return -2;
+  if (status != lt::LT_OK) return -1;
+  return overlap_add_block(d, d->audio.data(), bf, pf, nf, pcm_out);
 }
 
 // ---- decode-state checkpoint (the reference's resumable state is exactly
@@ -430,14 +460,64 @@ void lt_decoder_load_state(Decoder* d, const float* pwr, int plen,
 // stride = 3*n1/4 (max per-channel output); out_lens[i] receives the
 // per-channel sample count, or -1/-2 for bad/header packets (window state
 // is unaffected by bad packets, matching per-packet semantics).
+//
+// Packets parallelize across threads for everything except the final
+// overlap-add: Vorbis' only inter-packet dependency is the lapped window
+// (the same structure the TPU pipeline exploits), so each worker decodes
+// entropy + floor + coupling + IMDCT for its packets into per-packet
+// audio blocks, and one sequential pass laps them together.
 void lt_decoder_decode_many(Decoder* d, const uint8_t* buf,
                             const uint64_t* offs, const uint64_t* lens,
                             int n, float* pcm_out, int32_t* out_lens) {
   const size_t stride =
       (size_t)d->st.channels * (3 * (size_t)d->st.n1 / 4);
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)std::min<unsigned>(hw ? hw : 1, 8);
+  if (n < 8 || nthreads <= 1) {
+    for (int i = 0; i < n; ++i) {
+      out_lens[i] = lt_decoder_decode(d, buf + offs[i], lens[i],
+                                      pcm_out + (size_t)i * stride);
+    }
+    return;
+  }
+  const lt::Stream& st = d->st;
+  const uint32_t C = st.channels, n1 = st.n1;
+  // per-packet decoded blocks (audio pre-overlap) + geometry
+  std::vector<float> audio((size_t)n * C * n1);
+  struct Geo {
+    int status;
+    uint8_t bf, pf, nf;
+  };
+  std::vector<Geo> geo(n);
+  auto worker = [&](int lo, int hi, Decoder* wd) {
+    for (int i = lo; i < hi; ++i) {
+      geo[i].status = decode_packet_to_audio(
+          wd, buf + offs[i], lens[i], audio.data() + (size_t)i * C * n1,
+          &geo[i].bf, &geo[i].pf, &geo[i].nf);
+    }
+  };
+  while ((int)d->workers.size() < nthreads) {
+    auto wd = std::make_unique<Decoder>();
+    wd->st = d->st;  // copies the parsed setup once (tables are read-only)
+    d->workers.push_back(std::move(wd));
+  }
+  std::vector<std::thread> threads;
+  int per = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi, d->workers[t].get());
+  }
+  for (auto& t : threads) t.join();
+  // sequential overlap-add using the shared window carry
   for (int i = 0; i < n; ++i) {
-    out_lens[i] = lt_decoder_decode(d, buf + offs[i], lens[i],
-                                    pcm_out + (size_t)i * stride);
+    if (geo[i].status != lt::LT_OK) {
+      out_lens[i] = geo[i].status == lt::LT_IS_HEADER ? -2 : -1;
+      continue;
+    }
+    out_lens[i] = overlap_add_block(
+        d, audio.data() + (size_t)i * C * n1, geo[i].bf, geo[i].pf,
+        geo[i].nf, pcm_out + (size_t)i * stride);
   }
 }
 

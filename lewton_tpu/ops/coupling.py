@@ -11,7 +11,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["inverse_coupling_batch"]
+__all__ = ["inverse_coupling_batch", "inverse_coupling_static"]
+
+
+def inverse_coupling_static(residue: jnp.ndarray, steps) -> jnp.ndarray:
+    """Coupling with a setup-static step list (all modes share it — the
+    common single-mapping case): channel indices are Python ints, so the
+    update is a static slice assignment, no one-hot work at all."""
+    for mag, ang in reversed(steps):
+        m = residue[:, mag]
+        a = residue[:, ang]
+        mpos = m > 0
+        apos = a > 0
+        new_m = jnp.where(mpos, jnp.where(apos, m, m + a), jnp.where(apos, m, m - a))
+        new_a = jnp.where(mpos, jnp.where(apos, m - a, m), jnp.where(apos, m + a, m))
+        residue = residue.at[:, mag].set(new_m).at[:, ang].set(new_a)
+    return residue
 
 
 def inverse_coupling_batch(
