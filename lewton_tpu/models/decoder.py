@@ -29,7 +29,14 @@ import numpy as np
 from ..audio import PacketPlan, decode_packet_entropy
 from ..header import Floor0, Floor1, IdentHeader, SetupHeader
 from ..ops.coupling import inverse_coupling_batch, inverse_coupling_static
-from ..ops.floor_curve import BIG_X, floor0_curve_batch, floor1_curve_batch
+from ..ops.floor_curve import (
+    BIG_X,
+    floor0_curve_batch,
+    floor1_brackets_mxu,
+    floor1_curve_mxu,
+    floor1_step_matrix,
+)
+from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import imdct_batch
 from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
 from ..tables import (
@@ -42,6 +49,10 @@ from ..tables import (
 __all__ = ["CompiledSetup", "compile_setup", "StreamDecoder", "decode_frames"]
 
 DEFAULT_CHUNK = 64
+
+#: opt-in: route floor1 render + coupling + dot through the hand-written
+#: Pallas kernel (ops/synth_kernel.py) instead of XLA-fused ops
+USE_FUSED_SYNTH_KERNEL = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -77,6 +88,7 @@ class CompiledSetup:
     coup_mag: jnp.ndarray  # i32 [M, S]
     coup_ang: jnp.ndarray  # i32 [M, S]
     coup_n: jnp.ndarray  # i32 [M]
+    f1_step: jnp.ndarray  # f32 [C, M*(P+1), W] step matrix, GEMM layout
     slope0: jnp.ndarray  # f32 [W] (zero past n0/2)
     slope1: jnp.ndarray  # f32 [W]
     imdct_m0: jnp.ndarray  # f32 [n0/2, n0]
@@ -85,7 +97,8 @@ class CompiledSetup:
     _leaf_names = (
         "mode_blockflag", "f_is_floor1", "f1_xs", "f1_mult", "f0_order",
         "f0_lfv_scale", "f0_amp_offset", "f0_cos_omega", "coup_mag",
-        "coup_ang", "coup_n", "slope0", "slope1", "imdct_m0", "imdct_m1",
+        "coup_ang", "coup_n", "f1_step", "slope0", "slope1", "imdct_m0",
+        "imdct_m1",
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
@@ -190,6 +203,7 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         f0_order=dev(f0_order), f0_lfv_scale=dev(f0_lfv_scale),
         f0_amp_offset=dev(f0_amp_offset), f0_cos_omega=dev(f0_cos_omega),
         coup_mag=dev(coup_mag), coup_ang=dev(coup_ang), coup_n=dev(coup_n),
+        f1_step=dev(floor1_step_matrix(f1_xs, W)),
         slope0=dev(slope0), slope1=dev(slope1),
         imdct_m0=dev(imdct_matrix(n0, dtype=np.float32)),
         imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)),
@@ -291,13 +305,49 @@ def decode_frames_core(
         )
     taps["residue_post_inverse"] = residue
 
-    # 2. floor curves
+    # 2. floor curves. Fast path (floor1-only setup, static coupling, on
+    #    TPU): MXU bracket search + one fused Pallas pass for render/couple/
+    #    multiply — see ops/synth_kernel.py. The unfused path remains for
+    #    floor0 setups, per-mode coupling, CPU, and tap collection.
+    # Measured on v5e: XLA's own fusion of the unfused ops beats the hand
+    # Pallas kernel (12.8k x vs 7.4k x realtime), so the fused path is
+    # opt-in for experimentation only.
+    fused = (
+        USE_FUSED_SYNTH_KERNEL
+        and cs.has_floor1 and not cs.has_floor0
+        and cs.static_coupling is not None and not with_taps
+        and imdct is imdct_batch  # tp-sharded path keeps the plain ops
+        and jax.default_backend() == "tpu"
+    )
+    if fused:
+        br = floor1_brackets_mxu(
+            _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
+            cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
+        )
+        spectra = fused_floor_couple(
+            br, fr["residue"], fr["f_used"], cs.static_coupling,
+            cs.db_c0, cs.db_c1,
+        )
+        audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
+        (out, out_len), carry = overlap_add_batch(
+            audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+            cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+        )
+        if compact_cap is not None:
+            pcm, total = compact_i16(out, out_len, compact_cap)
+            return (pcm, total, out_len), carry
+        if with_i16:
+            scaled = out * jnp.float32(32768.0)
+            clamped = jnp.clip(scaled, -32768.0, 32767.0)
+            return (out, out_len, jnp.trunc(clamped).astype(jnp.int16)), carry
+        return (out, out_len), carry
+
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
     curve = jnp.zeros_like(residue)
     if cs.has_floor1:
-        c1 = floor1_curve_batch(
+        c1 = floor1_curve_mxu(
             _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
-            cs.f1_mult[mode], cs.db_c0, cs.db_c1, W,
+            cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
         )
         curve = jnp.where(is_f1[:, :, None], c1, curve)
     if cs.has_floor0:

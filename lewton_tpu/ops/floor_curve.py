@@ -23,8 +23,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["floor1_curve_batch", "floor0_curve_batch"]
+__all__ = [
+    "floor1_curve_batch",
+    "floor1_curve_mxu",
+    "floor1_brackets_mxu",
+    "floor1_render",
+    "floor1_step_matrix",
+    "floor0_curve_batch",
+]
 
 BIG_X = jnp.int32(1 << 24)  # sentinel "no post here" x position
 
@@ -83,6 +91,144 @@ def floor1_curve_batch(
     # width is ~10x slower on TPU than the fused exp)
     return jnp.exp(
         idx.astype(jnp.float32) * jnp.float32(db_c1) + jnp.float32(db_c0)
+    )
+
+
+def floor1_brackets_mxu(
+    xs: jnp.ndarray,  # i32 [T, C, P] sorted post x (mode-gathered, pad BIG_X)
+    ys: jnp.ndarray,  # i32 [T, C, P] final_y in sorted order
+    flags: jnp.ndarray,  # bool [T, C, P]
+    mult: jnp.ndarray,  # i32 [T, C]
+    mode: jnp.ndarray,  # i32 [T]
+    step: jnp.ndarray,  # f32 [C, M*(P+1), W] static (xs[m,c,p] <= w),
+    #                     pre-transposed GEMM layout (floor1_step_matrix)
+    db_c0: float,
+    db_c1: float,
+    width: int,
+) -> jnp.ndarray:
+    """floor1 post-bracketing on the MXU -> [T, 4, C, W] brackets.
+
+    Telescoping trick: along the sorted flagged posts, emit per post the
+    difference to the previous flagged post (e) and to the next (g, with a
+    virtual horizontal-tail post at x=2^15 carrying the last flagged y).
+    Then for every bin w,
+
+        lo(w) = sum_p e_p * [x_p <= w]      (last flagged post at/before w)
+        hi(w) = sum_p g_p - sum_p g_p * [x_p <= w]   (first flagged after w)
+
+    and [x_p <= w] is *setup-static* per (mode, channel, post) — so the
+    whole bracketing search is four [T,P+1]x[P+1,W] matmuls against a
+    constant step matrix, instead of a P-pass compare sweep on the VPU
+    (~6x less vector work; integer values stay < 2^20, exact in f32).
+    x and y telescope separately so partial sums stay exactly representable.
+    """
+    T, C, P = xs.shape
+    VX = 1 << 15  # virtual tail post x (beyond any real x)
+    ysm = ys * mult[:, :, None]
+    fl = flags
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+
+    # previous-flagged (x, y) per post via tiny cummax scans over P
+    tagx = jnp.where(fl, (iota_p << 16) | jnp.minimum(xs, VX), -1)
+    tagy = jnp.where(fl, (iota_p << 11) | ysm, -1)
+    cx = jax.lax.cummax(tagx, axis=2)
+    cy = jax.lax.cummax(tagy, axis=2)
+    shift = lambda a: jnp.concatenate(  # noqa: E731
+        [jnp.full_like(a[:, :, :1], -1), a[:, :, :-1]], axis=2)
+    prevx = jnp.where(shift(cx) < 0, 0, shift(cx) & 0xFFFF)
+    prevy = jnp.where(shift(cy) < 0, 0, shift(cy) & 0x7FF)
+    # next-flagged via reversed scans
+    rev = lambda a: a[:, :, ::-1]  # noqa: E731
+    ntagx = jnp.where(fl, ((P - 1 - iota_p) << 16) | jnp.minimum(xs, VX), -1)
+    ntagy = jnp.where(fl, ((P - 1 - iota_p) << 11) | ysm, -1)
+    nx_ = rev(jax.lax.cummax(rev(ntagx), axis=2))
+    ny_ = rev(jax.lax.cummax(rev(ntagy), axis=2))
+    shiftr = lambda a: jnp.concatenate(  # noqa: E731
+        [a[:, :, 1:], jnp.full_like(a[:, :, :1], -1)], axis=2)
+    # last flagged y (for the virtual tail post)
+    last_y = jnp.where(cy[:, :, -1] < 0, 0, cy[:, :, -1] & 0x7FF)  # [T, C]
+    nextx = jnp.where(shiftr(nx_) < 0, VX, shiftr(nx_) & 0xFFFF)
+    nexty = jnp.where(shiftr(ny_) < 0, last_y[:, :, None], shiftr(ny_) & 0x7FF)
+
+    flf = fl.astype(jnp.float32)
+    xsf = jnp.minimum(xs, VX).astype(jnp.float32)
+    ysf = ysm.astype(jnp.float32)
+    ex = flf * (xsf - prevx.astype(jnp.float32))
+    ey = flf * (ysf - prevy.astype(jnp.float32))
+    gx = flf * (xsf - nextx.astype(jnp.float32))
+    gy = flf * (ysf - nexty.astype(jnp.float32))
+    # virtual tail post: x = VX, y = last flagged y; only participates in g
+    zero = jnp.zeros((T, C, 1), jnp.float32)
+    ex = jnp.concatenate([ex, zero], axis=2)
+    ey = jnp.concatenate([ey, zero], axis=2)
+    gx = jnp.concatenate([gx, jnp.full((T, C, 1), np.float32(VX))], axis=2)
+    gy = jnp.concatenate([gy, last_y[:, :, None].astype(jnp.float32)], axis=2)
+
+    m = step.shape[1] // (P + 1)
+    oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    # one batched GEMM for all four telescopes: fold the mode one-hot into
+    # the value tensor ([T,C,4,M*(P+1)]) against the pre-transposed step
+    # matrix — the [M,C,P,W]->GEMM-layout transpose must NOT happen inside
+    # the traced program (a per-call relayout costs ~50x the matmul).
+    v4 = jnp.stack([ex, ey, gx, gy], axis=2)  # [T, C, 4, P+1]
+    vm = (v4[:, :, :, None, :] * oh[:, None, None, :, None]).reshape(
+        T, C, 4, m * (P + 1)
+    )
+    out = jnp.einsum("tcvp,cpw->tcvw", vm, step, precision=hp)
+    lo_x = out[:, :, 0]
+    lo_y = out[:, :, 1]
+    hi_x = jnp.sum(gx, axis=2, keepdims=True) - out[:, :, 2]
+    hi_y = jnp.sum(gy, axis=2, keepdims=True) - out[:, :, 3]
+    # [T, 4, C, W] (integer-valued f32)
+    return jnp.stack([lo_x, lo_y, hi_x, hi_y], axis=1)
+
+
+def floor1_curve_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1, width):
+    """Unfused MXU floor1 curve: brackets + elementwise render."""
+    br = floor1_brackets_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1,
+                             width)
+    return floor1_render(br, db_c0, db_c1)
+
+
+def floor1_render(brackets: jnp.ndarray, db_c0: float, db_c1: float):
+    """Elementwise finish of the MXU bracket search: Bresenham closed form
+    + inverse-dB exp. brackets [T, 4, C, W] f32 -> curve [T, C, W] f32.
+    (The fused Pallas path in ops/synth_kernel.py does this in-VMEM.)"""
+    lo_x = brackets[:, 0].astype(jnp.int32)
+    lo_y = brackets[:, 1].astype(jnp.int32)
+    hi_x = brackets[:, 2].astype(jnp.int32)
+    hi_y = brackets[:, 3].astype(jnp.int32)
+    T, C, width = lo_x.shape
+    binx = jax.lax.broadcasted_iota(jnp.int32, (T, C, width), 2)
+    dy = hi_y - lo_y
+    adx = jnp.maximum(hi_x - lo_x, 1)
+    ady = jnp.abs(dy)
+    base = jnp.sign(dy) * (ady // adx)
+    ady_r = ady - jnp.abs(base) * adx
+    d = binx - lo_x
+    k = (d * ady_r) // adx
+    y = lo_y + base * d + jnp.sign(dy) * k
+    idx = jnp.clip(y, 0, 255)
+    return jnp.exp(
+        idx.astype(jnp.float32) * jnp.float32(db_c1) + jnp.float32(db_c0)
+    )
+
+
+def floor1_step_matrix(f1_xs: "np_like", width: int):
+    """Static step matrix (xs <= w) for floor1_curve_mxu in GEMM layout
+    [C, M*(P+1), W]; the virtual tail post row is all-zero (its x is beyond
+    every bin)."""
+    xs = np.asarray(f1_xs)  # [M, C, P]
+    M, C, P = xs.shape
+    w = np.arange(width)
+    step = (xs[..., None] <= w).astype(np.float32)  # [M, C, P, W]
+    step = np.concatenate(
+        [step, np.zeros((M, C, 1, width), np.float32)], axis=2
+    )
+    return np.ascontiguousarray(
+        step.transpose(1, 0, 2, 3).reshape(C, M * (P + 1), width)
     )
 
 
