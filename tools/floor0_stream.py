@@ -1,0 +1,220 @@
+"""Hand-crafted floor0 Ogg Vorbis stream (test vector generator).
+
+No modern encoder emits floor type 0 — the reference's only coverage is a
+rare wild file (thingy-floor0.ogg). This builds a complete, spec-valid
+floor0 stream bit by bit; libvorbisfile decodes it, and its output is the
+golden PCM for our three backends. Deterministic; used by
+tests/test_floor0_stream.py.
+
+Layout: mono, 8 kHz, blocksizes 128/128 (one mode), one floor0
+(order 2, bark_map_size 64), one type-1 residue with a 2-class cascade,
+three codebooks (LSP VQ, classbook, residue VQ).
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+sys.path.insert(0, ".")
+
+from lewton_tpu.ogg.demux import crc32_ogg  # noqa: E402
+from lewton_tpu.utils.bitwriter import BitWriter  # noqa: E402
+
+RATE = 8000
+N0, N1 = 128, 256  # short/long blocksizes (two modes)
+
+# codebook 0: LSP VQ — dims 2, entries 4, lengths 2, lookup type 2:
+# values = mult * 0.5 + 0.5 (coeffs 0.5..2.0); entries pair a low root
+# with a high root so p and q never resonate at the same bark bin and the
+# curve stays < 1 for amplitudes <= 12 (worst-case sqrt(p+q) ~ 0.25)
+# codebook 1: classbook — dims 2, entries 4, lengths 2 (classifications=2)
+# codebook 2: residue VQ — dims 2, entries 4, lengths 2, lookup type 2,
+# values = mult * 1.0 - 1.5 in {-1.5, -.5, .5, 1.5}
+
+
+def vorbis_float32(mantissa: int, exp: int, sign: int = 0) -> int:
+    """Pack the Vorbis float32 format: value = (-1)^sign * m * 2^(exp-788)."""
+    return (sign << 31) | (exp << 21) | mantissa
+
+
+def _codebook(w: BitWriter, dims: int, entries: int, length: int,
+              lookup: int, minimum: int, delta: int, value_bits: int,
+              mults: list[int]) -> None:
+    w.write_bits(0x564342, 24)
+    w.write_bits(dims, 16)
+    w.write_bits(entries, 24)
+    w.write_flag(False)  # not ordered
+    w.write_flag(False)  # not sparse
+    for _ in range(entries):
+        w.write_bits(length - 1, 5)
+    w.write_bits(lookup, 4)
+    if lookup:
+        w.write_bits(minimum, 32)
+        w.write_bits(delta, 32)
+        w.write_bits(value_bits - 1, 4)
+        w.write_flag(False)  # sequence_p
+        for m in mults:
+            w.write_bits(m, value_bits)
+
+
+def build_headers() -> tuple[bytes, bytes, bytes]:
+    # ident
+    w = BitWriter().write_bytes(b"\x01vorbis")
+    w.write_bits(0, 32)  # version
+    w.write_bits(1, 8)  # channels
+    w.write_bits(RATE, 32)
+    for _ in range(3):
+        w.write_bits(0, 32)  # bitrates
+    w.write_bits(7, 4)  # blocksize_0 = 2^7
+    w.write_bits(8, 4)  # blocksize_1 = 2^8
+    w.write_bits(1, 1)  # framing
+    ident = w.getvalue()
+
+    # comment
+    w = BitWriter().write_bytes(b"\x03vorbis")
+    w.write_bytes(struct.pack("<I", 0))  # vendor length
+    w.write_bytes(struct.pack("<I", 0))  # count
+    w.write_bits(1, 1)
+    comment = w.getvalue()
+
+    # setup
+    w = BitWriter().write_bytes(b"\x05vorbis")
+    w.write_bits(3 - 1, 8)  # codebook count
+    _codebook(w, 2, 4, 2, 2, vorbis_float32(1, 787), vorbis_float32(1, 787),
+              2, [0, 2, 0, 3, 1, 2, 1, 3])  # min=delta=0.5
+    _codebook(w, 2, 4, 2, 0, 0, 0, 0, [])
+    _codebook(w, 2, 4, 2, 2, vorbis_float32(3, 787, 1),  # min = -1.5
+              vorbis_float32(1, 788), 2, [(i * 3) % 4 for i in range(8)])
+    w.write_bits(0, 6)  # time count - 1
+    w.write_bits(0, 16)  # time transform 0
+    w.write_bits(0, 6)  # floor count - 1
+    w.write_bits(0, 16)  # floor type 0
+    w.write_bits(2, 8)  # order
+    w.write_bits(RATE, 16)  # rate
+    w.write_bits(64, 16)  # bark_map_size
+    w.write_bits(6, 6)  # amplitude_bits
+    w.write_bits(136, 8)  # amplitude_offset
+    w.write_bits(0, 4)  # number_of_books - 1
+    w.write_bits(0, 8)  # book 0
+    w.write_bits(0, 6)  # residue count - 1
+    w.write_bits(1, 16)  # residue type 1
+    w.write_bits(0, 24)  # begin
+    w.write_bits(64, 24)  # end
+    w.write_bits(16 - 1, 24)  # partition size
+    w.write_bits(2 - 1, 6)  # classifications
+    w.write_bits(1, 8)  # classbook
+    # cascades: class 0 -> no books; class 1 -> pass 0 book
+    w.write_bits(0, 3)
+    w.write_flag(False)
+    w.write_bits(1, 3)
+    w.write_flag(False)
+    w.write_bits(2, 8)  # class 1 pass 0 book
+    w.write_bits(0, 6)  # mapping count - 1
+    w.write_bits(0, 16)  # mapping type 0
+    w.write_flag(False)  # submaps flag (1 submap)
+    w.write_flag(False)  # no coupling
+    w.write_bits(0, 2)  # reserved
+    w.write_bits(0, 8)  # time placeholder
+    w.write_bits(0, 8)  # submap floor
+    w.write_bits(0, 8)  # submap residue
+    w.write_bits(1, 6)  # mode count - 1 (two modes: short, long)
+    for bf in (0, 1):
+        w.write_bits(bf, 1)  # blockflag
+        w.write_bits(0, 16)  # window type
+        w.write_bits(0, 16)  # transform type
+        w.write_bits(0, 8)  # mapping
+    w.write_bits(1, 1)  # framing
+    setup = w.getvalue()
+    return ident, comment, setup
+
+
+# canonical 4-bit codes for a fully balanced 16-entry book: code == entry
+# (all lengths equal => canonical assignment is entry order)
+def _is_long(seed: int) -> bool:
+    return (seed % 3) == 2  # mix of short and long blocks
+
+
+def _audio_packet(seed: int, prev_long: bool, next_long: bool) -> bytes:
+    rng = (seed * 2654435761) & 0xFFFFFFFF
+    w = BitWriter()
+    w.write_bits(0, 1)  # audio packet
+    long_blk = _is_long(seed)
+    w.write_bits(1 if long_blk else 0, 1)  # mode number (ilog(1) = 1 bit)
+    if long_blk:
+        # window flags reflect the actual neighbors (spec 4.3.1)
+        w.write_bits(1 if prev_long else 0, 1)
+        w.write_bits(1 if next_long else 0, 1)
+    # floor0: amplitude (6 bits), booknumber ilog(1)=1 bit, LSP vq words
+    w.write_bits(8 + (seed % 5), 6)  # amplitude > 0 (curve stays < 1)
+    w.write_bits(0, 1)  # book number 0
+    w.write_huffman(rng % 4, 2)  # one 2-dim VQ word covers order=2
+    # residue type 1: 4 partitions, cpc=2 -> classwords at partitions 0, 2
+    # classbook entries: entry e encodes digits (e // 2, e % 2)
+    for part in range(0, 4, 2):
+        cls0 = (seed >> part) & 1
+        cls1 = (seed >> (part + 1)) & 1
+        w.write_huffman(cls0 * 2 + cls1, 2)
+        for cls in (cls0, cls1):
+            if cls == 1:  # book present: 8 x dims-2 words fill psize=16
+                for i in range(8):
+                    w.write_huffman((rng >> (2 * i)) & 3, 2)
+    return w.getvalue()
+
+
+def ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
+             bos: bool = False, eos: bool = False) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        body += p
+    header_type = (2 if bos else 0) | (4 if eos else 0)
+    header = struct.pack("<4sBBqIII", b"OggS", 0, header_type,
+                         granule, serial, seq, 0)
+    header += bytes([len(lacing)]) + bytes(lacing)
+    crc = crc32_ogg(header + bytes(body))
+    header = header[:22] + struct.pack("<I", crc) + header[26:]
+    return header + bytes(body)
+
+
+def build_stream(n_packets: int = 40, serial: int = 0xF10012) -> bytes:
+    ident, comment, setup = build_headers()
+    pages = [ogg_page(serial, 0, 0, [ident], bos=True)]
+    pages.append(ogg_page(serial, 1, 0, [comment, setup]))
+    pcks = [
+        _audio_packet(i, i > 0 and _is_long(i - 1),
+                      i + 1 < n_packets and _is_long(i + 1))
+        for i in range(n_packets)
+    ]
+    # granule: cumulative decoded samples (blocksize-mix aware); the first
+    # packet primes the window and emits none
+    from lewton_tpu.header import read_header_ident, read_header_setup
+    from lewton_tpu.audio import get_decoded_sample_count
+
+    ident_h = read_header_ident(ident)
+    setup_h = read_header_setup(setup, ident_h)
+    granule = 0
+    audio_pages = []
+    per_page = 8
+    for i in range(0, n_packets, per_page):
+        chunk = pcks[i : i + per_page]
+        for j in range(i, i + len(chunk)):
+            if j > 0:
+                granule += get_decoded_sample_count(ident_h, setup_h, pcks[j])
+        audio_pages.append((chunk, granule))
+    for k, (chunk, gr) in enumerate(audio_pages):
+        pages.append(ogg_page(serial, 2 + k, gr, chunk,
+                              eos=(k == len(audio_pages) - 1)))
+    return b"".join(pages)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/floor0.ogg"
+    with open(out, "wb") as f:
+        f.write(build_stream())
+    print(f"wrote {out}")
