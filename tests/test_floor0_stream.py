@@ -37,3 +37,26 @@ def test_floor0_stream_all_backends(stream_and_golden, backend):
     assert out.shape == golden.shape
     d = np.abs(out.astype(np.int32) - golden.astype(np.int32))
     assert int((d > 2).sum()) == 0, f"max diff {d.max()}"
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native", "jax"])
+@pytest.mark.parametrize("variant", [
+    {"residue_type": 0},               # strided VQ writes (no encoder emits)
+    {"channels": 2, "submaps": 2},     # multi-submap channel muxing
+])
+def test_crafted_variants(tmp_path, backend, variant):
+    from tools import vorbisref as vr
+
+    if backend == "native":
+        from lewton_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+    data = build_stream(**variant)
+    p = tmp_path / "v.ogg"
+    p.write_bytes(data)
+    golden = vr.decode_file_i16(str(p))
+    out = OggStreamReader(data, backend=backend).read_all_i16()
+    assert out.shape == golden.shape
+    d = np.abs(out.astype(np.int32) - golden.astype(np.int32))
+    assert int((d > 2).sum()) == 0, f"{variant}: max diff {d.max()}"

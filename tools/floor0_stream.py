@@ -58,11 +58,12 @@ def _codebook(w: BitWriter, dims: int, entries: int, length: int,
             w.write_bits(m, value_bits)
 
 
-def build_headers() -> tuple[bytes, bytes, bytes]:
+def build_headers(residue_type: int = 1, channels: int = 1,
+                  submaps: int = 1) -> tuple[bytes, bytes, bytes]:
     # ident
     w = BitWriter().write_bytes(b"\x01vorbis")
     w.write_bits(0, 32)  # version
-    w.write_bits(1, 8)  # channels
+    w.write_bits(channels, 8)  # channels
     w.write_bits(RATE, 32)
     for _ in range(3):
         w.write_bits(0, 32)  # bitrates
@@ -98,7 +99,7 @@ def build_headers() -> tuple[bytes, bytes, bytes]:
     w.write_bits(0, 4)  # number_of_books - 1
     w.write_bits(0, 8)  # book 0
     w.write_bits(0, 6)  # residue count - 1
-    w.write_bits(1, 16)  # residue type 1
+    w.write_bits(residue_type, 16)  # residue type
     w.write_bits(0, 24)  # begin
     w.write_bits(64, 24)  # end
     w.write_bits(16 - 1, 24)  # partition size
@@ -112,12 +113,20 @@ def build_headers() -> tuple[bytes, bytes, bytes]:
     w.write_bits(2, 8)  # class 1 pass 0 book
     w.write_bits(0, 6)  # mapping count - 1
     w.write_bits(0, 16)  # mapping type 0
-    w.write_flag(False)  # submaps flag (1 submap)
+    if submaps > 1:
+        w.write_flag(True)
+        w.write_bits(submaps - 1, 4)
+    else:
+        w.write_flag(False)  # 1 submap
     w.write_flag(False)  # no coupling
     w.write_bits(0, 2)  # reserved
-    w.write_bits(0, 8)  # time placeholder
-    w.write_bits(0, 8)  # submap floor
-    w.write_bits(0, 8)  # submap residue
+    if submaps > 1:
+        for ch in range(channels):
+            w.write_bits(ch % submaps, 4)  # mux: channel ch -> submap
+    for _ in range(submaps):
+        w.write_bits(0, 8)  # time placeholder
+        w.write_bits(0, 8)  # submap floor
+        w.write_bits(0, 8)  # submap residue
     w.write_bits(1, 6)  # mode count - 1 (two modes: short, long)
     for bf in (0, 1):
         w.write_bits(bf, 1)  # blockflag
@@ -135,7 +144,8 @@ def _is_long(seed: int) -> bool:
     return (seed % 3) == 2  # mix of short and long blocks
 
 
-def _audio_packet(seed: int, prev_long: bool, next_long: bool) -> bytes:
+def _audio_packet(seed: int, prev_long: bool, next_long: bool,
+                  channels: int = 1, submaps: int = 1) -> bytes:
     rng = (seed * 2654435761) & 0xFFFFFFFF
     w = BitWriter()
     w.write_bits(0, 1)  # audio packet
@@ -145,20 +155,24 @@ def _audio_packet(seed: int, prev_long: bool, next_long: bool) -> bytes:
         # window flags reflect the actual neighbors (spec 4.3.1)
         w.write_bits(1 if prev_long else 0, 1)
         w.write_bits(1 if next_long else 0, 1)
-    # floor0: amplitude (6 bits), booknumber ilog(1)=1 bit, LSP vq words
-    w.write_bits(8 + (seed % 5), 6)  # amplitude > 0 (curve stays < 1)
-    w.write_bits(0, 1)  # book number 0
-    w.write_huffman(rng % 4, 2)  # one 2-dim VQ word covers order=2
-    # residue type 1: 4 partitions, cpc=2 -> classwords at partitions 0, 2
-    # classbook entries: entry e encodes digits (e // 2, e % 2)
-    for part in range(0, 4, 2):
-        cls0 = (seed >> part) & 1
-        cls1 = (seed >> (part + 1)) & 1
-        w.write_huffman(cls0 * 2 + cls1, 2)
-        for cls in (cls0, cls1):
-            if cls == 1:  # book present: 8 x dims-2 words fill psize=16
-                for i in range(8):
-                    w.write_huffman((rng >> (2 * i)) & 3, 2)
+    # floor0 per channel: amplitude (6 bits), booknumber ilog(1)=1 bit, VQ
+    for ch in range(channels):
+        w.write_bits(8 + ((seed + ch) % 5), 6)  # amplitude > 0 (curve < 1)
+        w.write_bits(0, 1)  # book number 0
+        w.write_huffman((rng >> ch) % 4, 2)  # one 2-dim word covers order=2
+    # residues per submap. With 1 submap and C>1 channels, types 0/1
+    # interleave classwords/codewords across the submap's channels; this
+    # generator only emits multi-channel via submaps (1 channel each), so
+    # the per-vector loop below stays single-channel.
+    for sm in range(submaps):
+        for part in range(0, 4, 2):
+            cls0 = (seed >> part) & 1
+            cls1 = (seed >> (part + 1)) & 1
+            w.write_huffman(cls0 * 2 + cls1, 2)
+            for cls in (cls0, cls1):
+                if cls == 1:  # book present: 8 x dims-2 words fill psize=16
+                    for i in range(8):
+                        w.write_huffman((rng >> (2 * i + sm)) & 3, 2)
     return w.getvalue()
 
 
@@ -182,13 +196,15 @@ def ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
     return header + bytes(body)
 
 
-def build_stream(n_packets: int = 40, serial: int = 0xF10012) -> bytes:
-    ident, comment, setup = build_headers()
+def build_stream(n_packets: int = 40, serial: int = 0xF10012,
+                 residue_type: int = 1, channels: int = 1,
+                 submaps: int = 1) -> bytes:
+    ident, comment, setup = build_headers(residue_type, channels, submaps)
     pages = [ogg_page(serial, 0, 0, [ident], bos=True)]
     pages.append(ogg_page(serial, 1, 0, [comment, setup]))
     pcks = [
         _audio_packet(i, i > 0 and _is_long(i - 1),
-                      i + 1 < n_packets and _is_long(i + 1))
+                      i + 1 < n_packets and _is_long(i + 1), channels, submaps)
         for i in range(n_packets)
     ]
     # granule: cumulative decoded samples (blocksize-mix aware); the first
