@@ -1,0 +1,118 @@
+// Sanitizer fuzz driver for the native host library.
+//
+// The reference's robustness mechanism is a pinned fuzzer-crash corpus
+// (lewton dev/cmp/tests/fuzzed.rs); its memory safety comes from rustc.
+// The C++ half gets the equivalent guarantee from this driver built with
+// -fsanitize=address,undefined (`make -C lewton_tpu/native fuzz`): it
+// demuxes and fully decodes seed .ogg files plus deterministic mutations
+// (truncations, bit flips, region scrambles) — any overflow/UB aborts.
+//
+// Usage: lt_fuzz FILE.ogg [FILE2.ogg ...]
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <vector>
+
+#include "lt_decode.h"
+
+extern "C" {
+struct OggReaderOpaque;
+OggReaderOpaque* lt_ogg_new(const uint8_t*, size_t);
+void lt_ogg_free(OggReaderOpaque*);
+int64_t lt_ogg_packet_count(const OggReaderOpaque*);
+void lt_ogg_packet_meta(const OggReaderOpaque*, uint64_t*, uint32_t*,
+                        uint8_t*, uint64_t*, uint64_t*);
+void lt_ogg_packet_data(const OggReaderOpaque*, uint8_t*);
+struct DecoderOpaque;
+DecoderOpaque* lt_decoder_new(const uint8_t*, size_t, const uint8_t*, size_t,
+                              char*, size_t);
+void lt_decoder_free(DecoderOpaque*);
+int lt_decoder_decode(DecoderOpaque*, const uint8_t*, size_t, float*);
+}
+
+static uint32_t rng_state = 0x1234567;
+static uint32_t rng() {
+  rng_state = rng_state * 1664525u + 1013904223u;
+  return rng_state;
+}
+
+static int decode_all(const std::vector<uint8_t>& data) {
+  OggReaderOpaque* ogg = lt_ogg_new(data.data(), data.size());
+  int64_t n = lt_ogg_packet_count(ogg);
+  if (n < 3) {
+    lt_ogg_free(ogg);
+    return 0;
+  }
+  std::vector<uint64_t> lens(n), absgp(n), pgran(n);
+  std::vector<uint32_t> serials(n);
+  std::vector<uint8_t> flags(n);
+  lt_ogg_packet_meta(ogg, lens.data(), serials.data(), flags.data(),
+                     absgp.data(), pgran.data());
+  uint64_t total = 0;
+  for (auto l : lens) total += l;
+  std::vector<uint8_t> blob(total ? total : 1);
+  lt_ogg_packet_data(ogg, blob.data());
+  lt_ogg_free(ogg);
+
+  // find first serial's first three packets = headers
+  uint32_t serial = serials[0];
+  std::vector<std::pair<const uint8_t*, size_t>> mine;
+  uint64_t off = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (serials[i] == serial) mine.push_back({blob.data() + off, lens[i]});
+    off += lens[i];
+  }
+  if (mine.size() < 4) return 0;
+  char err[128];
+  DecoderOpaque* dec = lt_decoder_new(mine[0].first, mine[0].second,
+                                      mine[2].first, mine[2].second, err,
+                                      sizeof(err));
+  if (!dec) return 0;
+  std::vector<float> pcm(16 * 8192 * 3 / 4);
+  int decoded = 0;
+  for (size_t i = 3; i < mine.size(); ++i) {
+    int r = lt_decoder_decode(dec, mine[i].first, mine[i].second, pcm.data());
+    if (r > 0) decoded += r;
+  }
+  lt_decoder_free(dec);
+  return decoded;
+}
+
+int main(int argc, char** argv) {
+  int total_variants = 0;
+  for (int a = 1; a < argc; ++a) {
+    std::ifstream f(argv[a], std::ios::binary);
+    std::vector<uint8_t> data{std::istreambuf_iterator<char>(f), {}};
+    if (data.empty()) continue;
+    decode_all(data);
+    ++total_variants;
+    // truncations
+    for (int i = 1; i <= 16; ++i) {
+      std::vector<uint8_t> v(data.begin(),
+                             data.begin() + (data.size() * i) / 17);
+      decode_all(v);
+      ++total_variants;
+    }
+    // bit flips
+    for (int i = 0; i < 200; ++i) {
+      std::vector<uint8_t> v = data;
+      v[rng() % v.size()] ^= (uint8_t)(1u << (rng() & 7));
+      decode_all(v);
+      ++total_variants;
+    }
+    // region scrambles
+    for (int i = 0; i < 32; ++i) {
+      std::vector<uint8_t> v = data;
+      size_t start = rng() % v.size();
+      size_t len = 1 + rng() % 64;
+      for (size_t j = start; j < v.size() && j < start + len; ++j)
+        v[j] = (uint8_t)rng();
+      decode_all(v);
+      ++total_variants;
+    }
+  }
+  printf("lt_fuzz: %d variants decoded without sanitizer findings\n",
+         total_variants);
+  return 0;
+}

@@ -105,3 +105,20 @@ def test_bad_audio_packet_errors(corpus_dir):
         read_audio_packet(r.ident_hdr, r.setup_hdr, b"\x01vorbis", pwr)
     with pytest.raises((AudioBadFormat,)):
         read_audio_packet(r.ident_hdr, r.setup_hdr, b"", pwr)
+
+
+def test_native_asan_fuzz(corpus_dir):
+    """Build the ASAN+UBSAN fuzz driver and run it over a seed file
+    (memory-safety tier for the C++ half; the reference's is rustc)."""
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..",
+                              "lewton_tpu", "native")
+    subprocess.run(["make", "-C", native_dir, "-s", "fuzz"], check=True)
+    r = subprocess.run(
+        [os.path.join(native_dir, "lt_fuzz"),
+         os.path.join(corpus_dir, "tiny_44k.ogg")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "without sanitizer findings" in r.stdout
