@@ -33,9 +33,36 @@ from ..ops.floor_curve import (
     BIG_X,
     floor0_curve_batch,
     floor1_brackets_mxu,
-    floor1_curve_mxu,
+    floor1_render,
     floor1_step_matrix,
 )
+
+
+def precompute_brackets(cs: "CompiledSetup", fr: dict) -> dict:
+    """Compute floor1 brackets for a whole [S, T] stream batch in ONE GEMM.
+
+    Under vmap the per-stream bracket einsum degenerates into hundreds of
+    tiny 64-row batched matmuls (latency-bound on the MXU); merging the
+    (stream, packet) axes first keeps it one large contraction. Returns fr
+    with an "f1_brackets" entry ([S, T, C, W] x4 tuple) for
+    decode_frames_core to pick up.
+    """
+    if not cs.has_floor1:
+        return fr
+    S, T = fr["mode"].shape
+    W = cs.n1 // 2
+    mode = fr["mode"].reshape(S * T)
+    ys = fr["f1_ys"].reshape((S * T,) + fr["f1_ys"].shape[2:])
+    flg = fr["f1_flags"].reshape((S * T,) + fr["f1_flags"].shape[2:])
+    br = floor1_brackets_mxu(
+        _by_mode(cs.f1_xs, mode), ys, flg, cs.f1_mult[mode], mode,
+        cs.f1_step, cs.db_c0, cs.db_c1, W,
+    )
+    fr = dict(fr)
+    fr["f1_brackets"] = tuple(
+        b.reshape((S, T) + b.shape[1:]) for b in br
+    )
+    return fr
 from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import imdct_batch
 from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
@@ -320,13 +347,13 @@ def decode_frames_core(
         and jax.default_backend() == "tpu"
     )
     if fused:
-        br = floor1_brackets_mxu(
+        br = fr.get("f1_brackets") or floor1_brackets_mxu(
             _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
             cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
         )
         spectra = fused_floor_couple(
-            br, fr["residue"], fr["f_used"], cs.static_coupling,
-            cs.db_c0, cs.db_c1,
+            jnp.stack(br, axis=1), fr["residue"], fr["f_used"],
+            cs.static_coupling, cs.db_c0, cs.db_c1,
         )
         audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
         (out, out_len), carry = overlap_add_batch(
@@ -345,10 +372,11 @@ def decode_frames_core(
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
     curve = jnp.zeros_like(residue)
     if cs.has_floor1:
-        c1 = floor1_curve_mxu(
+        br = fr.get("f1_brackets") or floor1_brackets_mxu(
             _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
             cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
         )
+        c1 = floor1_render(br, cs.db_c0, cs.db_c1)
         curve = jnp.where(is_f1[:, :, None], c1, curve)
     if cs.has_floor0:
         c0 = floor0_curve_batch(

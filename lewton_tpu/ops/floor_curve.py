@@ -172,17 +172,20 @@ def floor1_brackets_mxu(
     # the value tensor ([T,C,4,M*(P+1)]) against the pre-transposed step
     # matrix — the [M,C,P,W]->GEMM-layout transpose must NOT happen inside
     # the traced program (a per-call relayout costs ~50x the matmul).
-    v4 = jnp.stack([ex, ey, gx, gy], axis=2)  # [T, C, 4, P+1]
-    vm = (v4[:, :, :, None, :] * oh[:, None, None, :, None]).reshape(
-        T, C, 4, m * (P + 1)
-    )
-    out = jnp.einsum("tcvp,cpw->tcvw", vm, step, precision=hp)
-    lo_x = out[:, :, 0]
-    lo_y = out[:, :, 1]
-    hi_x = jnp.sum(gx, axis=2, keepdims=True) - out[:, :, 2]
-    hi_y = jnp.sum(gy, axis=2, keepdims=True) - out[:, :, 3]
-    # [T, 4, C, W] (integer-valued f32)
-    return jnp.stack([lo_x, lo_y, hi_x, hi_y], axis=1)
+    # four separate GEMMs (not one [.., 4, W] batch): each output stays a
+    # contiguous [T, C, W] tensor the downstream elementwise render can
+    # fuse over, instead of strided slices of a 4x buffer
+    def contract(v):
+        vm = (v[:, :, None, :] * oh[:, None, :, None]).reshape(
+            T, C, m * (P + 1))
+        return jnp.einsum("tcp,cpw->tcw", vm, step, precision=hp)
+
+    lo_x = contract(ex)
+    lo_y = contract(ey)
+    hi_x = jnp.sum(gx, axis=2, keepdims=True) - contract(gx)
+    hi_y = jnp.sum(gy, axis=2, keepdims=True) - contract(gy)
+    # tuple of contiguous [T, C, W] tensors (integer-valued f32)
+    return lo_x, lo_y, hi_x, hi_y
 
 
 def floor1_curve_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1, width):
@@ -192,14 +195,14 @@ def floor1_curve_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1, width):
     return floor1_render(br, db_c0, db_c1)
 
 
-def floor1_render(brackets: jnp.ndarray, db_c0: float, db_c1: float):
+def floor1_render(brackets, db_c0: float, db_c1: float):
     """Elementwise finish of the MXU bracket search: Bresenham closed form
-    + inverse-dB exp. brackets [T, 4, C, W] f32 -> curve [T, C, W] f32.
+    + inverse-dB exp. brackets = 4-tuple of [T, C, W] f32 -> curve.
     (The fused Pallas path in ops/synth_kernel.py does this in-VMEM.)"""
-    lo_x = brackets[:, 0].astype(jnp.int32)
-    lo_y = brackets[:, 1].astype(jnp.int32)
-    hi_x = brackets[:, 2].astype(jnp.int32)
-    hi_y = brackets[:, 3].astype(jnp.int32)
+    lo_x = brackets[0].astype(jnp.int32)
+    lo_y = brackets[1].astype(jnp.int32)
+    hi_x = brackets[2].astype(jnp.int32)
+    hi_y = brackets[3].astype(jnp.int32)
     T, C, width = lo_x.shape
     binx = jax.lax.broadcasted_iota(jnp.int32, (T, C, width), 2)
     dy = hi_y - lo_y

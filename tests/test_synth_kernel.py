@@ -28,7 +28,9 @@ def test_fused_matches_unfused(monkeypatch):
     c0, c1 = -16.0552, 0.06296
     got = np.asarray(synth_kernel.fused_floor_couple(
         br, residue, used, steps, c0, c1, rows=8))
-    curve = floor1_render(br, c0, c1) * used[:, :, None]
+    curve = floor1_render(
+        (br[:, 0], br[:, 1], br[:, 2], br[:, 3]), c0, c1
+    ) * used[:, :, None]
     res = inverse_coupling_static(residue, steps)
     want = np.asarray(curve * res)
     # interpret-mode float association may differ by ~1 ulp; the decode
