@@ -17,7 +17,10 @@ from dataclasses import dataclass
 
 from ..errors import OggError
 
-__all__ = ["Packet", "PacketReader", "OggError", "crc32_ogg"]
+__all__ = [
+    "Packet", "PacketReader", "IncrementalPacketReader", "OggError",
+    "crc32_ogg",
+]
 
 CAPTURE = b"OggS"
 CONTINUED = 0x01
@@ -182,7 +185,12 @@ class PacketReader:
             return page
 
     def _next_page(self) -> _Page | None:
-        return self._read_page_at(self._f.tell())
+        pos = self._f.tell()
+        page = self._read_page_at(pos)
+        if page is None:
+            # partial page (or EOF): restore so a later feed() can resume
+            self._f.seek(pos)
+        return page
 
     def _deliver_page(self, page: _Page) -> None:
         serial = page.serial
@@ -310,3 +318,20 @@ class PacketReader:
             target = best_after if best_after is not None else prev_end
         self.delete_unread_packets()
         self._f.seek(target)
+
+
+class IncrementalPacketReader(PacketReader):
+    """Streaming ingestion: bytes arrive in arbitrary chunks via feed();
+    read_packet() returns packets as soon as their pages are complete and
+    None (retryable) otherwise. Partial trailing pages are left buffered.
+    """
+
+    def __init__(self, initial: bytes = b""):
+        super().__init__(initial)
+
+    def feed(self, data: bytes) -> None:
+        pos = self._f.tell()
+        self._f.seek(0, 2)
+        self._f.write(data)
+        self._size = self._f.tell()
+        self._f.seek(pos)

@@ -42,6 +42,8 @@ class _StreamState:
     out: list = field(default_factory=list)  # decoded np arrays [n, C] i16
     cur_absgp: int | None = 0
     done: bool = False
+    reader: object = None  # IncrementalPacketReader for fed streams
+    serial: int | None = None
 
 
 class _Group:
@@ -155,21 +157,46 @@ class StreamingScheduler:
         self.chunk = chunk
         self.groups: dict[bytes, _Group] = {}
         self.streams: dict[object, tuple[_Group, _StreamState]] = {}
+        #: streams still waiting for their three header packets
+        self.pending: dict[object, list] = {}
 
-    def add_stream(self, sid, ogg_bytes: bytes) -> None:
-        """Register a whole Ogg stream (single logical stream) for decode."""
-        if sid in self.streams:
+    def add_stream(self, sid, ogg_bytes: bytes | None = None) -> None:
+        """Register a stream. With ``ogg_bytes`` the whole stream is queued
+        at once; without, feed it incrementally via :meth:`feed` — packets
+        become decodable as soon as their pages are complete."""
+        if sid in self.streams or sid in self.pending:
             raise ValueError(f"stream id {sid!r} already registered")
-        from .ogg import PacketReader
+        from .ogg.demux import IncrementalPacketReader
 
-        rdr = PacketReader(ogg_bytes)
-        first = rdr.read_packet_expected()
-        serial = first.stream_serial
-        pcks = [first]
-        while (p := rdr.read_packet()) is not None:
+        rdr = IncrementalPacketReader()
+        self.pending[sid] = [rdr, None, []]  # reader, serial, header packets
+        if ogg_bytes is not None:
+            self.feed(sid, ogg_bytes)
+
+    def feed(self, sid, data: bytes) -> None:
+        """Append bytes to an incrementally-fed stream."""
+        if sid in self.streams:
+            grp, st = self.streams[sid]
+            rdr = st.reader
+            rdr.feed(data)
+            while (p := rdr.read_packet()) is not None:
+                if p.stream_serial == st.serial:
+                    st.packets.append(p)
+            return
+        if sid not in self.pending:
+            raise KeyError(f"unknown stream id {sid!r}")
+        rdr, serial, headers = self.pending[sid]
+        rdr.feed(data)
+        while len(headers) < 3 and (p := rdr.read_packet()) is not None:
+            if serial is None:
+                serial = p.stream_serial
+                self.pending[sid][1] = serial
             if p.stream_serial == serial:
-                pcks.append(p)
-        ident_pck, setup_pck = pcks[0].data, pcks[2].data
+                headers.append(p)
+        if len(headers) < 3:
+            return
+        # headers complete: assign a group and promote to active
+        ident_pck, setup_pck = headers[0].data, headers[2].data
         key = setup_pck
         grp = self.groups.get(key)
         if grp is None:
@@ -177,9 +204,15 @@ class StreamingScheduler:
             self.groups[key] = grp
         if not grp.free:
             raise RuntimeError("scheduler group at capacity")
-        st = _StreamState(sid=sid, slot=-1, packets=pcks[3:])
+        st = _StreamState(sid=sid, slot=-1, packets=[])
+        st.reader = rdr
+        st.serial = serial
+        while (p := rdr.read_packet()) is not None:
+            if p.stream_serial == serial:
+                st.packets.append(p)
         grp.add(st)
         self.streams[sid] = (grp, st)
+        del self.pending[sid]
 
     def step(self) -> bool:
         """One device step over every group with pending work. Returns
@@ -190,6 +223,8 @@ class StreamingScheduler:
 
     def poll(self, sid) -> np.ndarray:
         """Drain decoded PCM for a stream: interleaved i16 [n, C]."""
+        if sid in self.pending:  # headers not complete yet
+            return np.zeros((0, 0), np.int16)
         grp, st = self.streams[sid]
         if not st.out:
             return np.zeros((0, grp.cs.channels), np.int16)
@@ -198,6 +233,8 @@ class StreamingScheduler:
         return out
 
     def is_done(self, sid) -> bool:
+        if sid in self.pending:
+            return False
         _, st = self.streams[sid]
         return st.done and not st.out
 

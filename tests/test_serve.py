@@ -50,3 +50,30 @@ def test_scheduler_add_remove_slots(corpus_dir):
         pass
     b = sched.poll(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_scheduler_incremental_feed(corpus_dir):
+    """Bytes fed in arbitrary chunks decode identically to offline."""
+    import random
+
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    data = open(path, "rb").read()
+    sched = StreamingScheduler(capacity=2, chunk=16)
+    sched.add_stream("s", None)
+    rng = random.Random(9)
+    got = []
+    i = 0
+    while i < len(data):
+        step = rng.randint(200, 4000)
+        sched.feed("s", data[i : i + step])
+        i += step
+        sched.step()
+        got.append(sched.poll("s"))
+    while sched.step():
+        pass
+    got.append(sched.poll("s"))
+    assert sched.is_done("s")
+    out = np.concatenate([g for g in got if g.size], axis=0)
+    want = OggStreamReader(path, backend="numpy").read_all_i16()
+    assert out.shape == want.shape
+    assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
