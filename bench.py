@@ -133,7 +133,8 @@ def check_conformance(args) -> None:
     names = [
         "mono_8k_q-1", "stereo_44k_q3", "stereo_44k_q10", "stereo_48k_q5",
         "ch6_44k_q3", "ch4_32k_q2", "stereo_44k_managed", "tiny_44k",
-        "silence_44k", "impulses_44k", "chained_44k",
+        "silence_44k", "impulses_44k", "chained_44k", "ch8_44k_q4",
+        "mono_11k_q0", "stereo_22k_q0", "long_44k_q2",
     ]
     worst, bad = 0, 0
     for name in names:
