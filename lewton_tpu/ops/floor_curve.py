@@ -198,25 +198,49 @@ def floor1_curve_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1, width):
 def floor1_render(brackets, db_c0: float, db_c1: float):
     """Elementwise finish of the MXU bracket search: Bresenham closed form
     + inverse-dB exp. brackets = 4-tuple of [T, C, W] f32 -> curve.
-    (The fused Pallas path in ops/synth_kernel.py does this in-VMEM.)"""
-    lo_x = brackets[0].astype(jnp.int32)
-    lo_y = brackets[1].astype(jnp.int32)
-    hi_x = brackets[2].astype(jnp.int32)
-    hi_y = brackets[3].astype(jnp.int32)
+    (The fused Pallas path in ops/synth_kernel.py does this in-VMEM.)
+
+    All arithmetic stays in f32 with a two-limb split so every intermediate
+    is an exactly-representable integer (< 2^24): d < 2^12, ady_r < 2^15 is
+    split as ah*64+al so the products stay < 2^22, and both floor-divisions
+    have quotients < 2^24/adx, where correctly-rounded f32 division cannot
+    cross an integer. Integer divisions would be exact too, but act as XLA
+    fusion barriers and cost far more VPU cycles.
+    """
+    one64 = jnp.float32(64.0)
+    lo_x, lo_y, hi_x, hi_y = brackets
     T, C, width = lo_x.shape
-    binx = jax.lax.broadcasted_iota(jnp.int32, (T, C, width), 2)
+    binx = jax.lax.broadcasted_iota(
+        jnp.int32, (T, C, width), 2).astype(jnp.float32)
+
+    def fdiv(x, y):
+        # exact floor(x / y) for integer-valued f32 with x < 2^22, y >= 1:
+        # TPU f32 division is approximate (reciprocal + refinement, not
+        # IEEE), so correct the candidate with one exact remainder step
+        # (the approximation error is well under 1, so the true floor is
+        # within +/-1 of the candidate; all products stay < 2^24 exact)
+        q = jnp.floor(x / y)
+        r = x - q * y
+        q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
+        q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
+        return q
+
     dy = hi_y - lo_y
-    adx = jnp.maximum(hi_x - lo_x, 1)
+    adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
+    sgn = jnp.sign(dy)
     ady = jnp.abs(dy)
-    base = jnp.sign(dy) * (ady // adx)
+    base = sgn * fdiv(ady, adx)  # == trunc(dy/adx)
     ady_r = ady - jnp.abs(base) * adx
     d = binx - lo_x
-    k = (d * ady_r) // adx
-    y = lo_y + base * d + jnp.sign(dy) * k
-    idx = jnp.clip(y, 0, 255)
-    return jnp.exp(
-        idx.astype(jnp.float32) * jnp.float32(db_c1) + jnp.float32(db_c0)
-    )
+    ah = jnp.floor(ady_r / one64)  # power-of-two divide: exact everywhere
+    al = ady_r - ah * one64
+    a_hi = d * ah
+    q1 = fdiv(a_hi, adx)
+    r1 = a_hi - q1 * adx
+    k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
+    y = lo_y + base * d + sgn * k
+    idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
+    return jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
 
 
 def floor1_step_matrix(f1_xs: "np_like", width: int):
