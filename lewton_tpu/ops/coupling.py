@@ -18,6 +18,17 @@ def inverse_coupling_static(residue: jnp.ndarray, steps) -> jnp.ndarray:
     """Coupling with a setup-static step list (all modes share it — the
     common single-mapping case): channel indices are Python ints, so the
     update is a static slice assignment, no one-hot work at all."""
+    if tuple(steps) == ((0, 1),) and residue.shape[1] == 2:
+        # canonical stereo: rebuild in one pass instead of two .at copies
+        m = residue[:, 0]
+        a = residue[:, 1]
+        mpos = m > 0
+        apos = a > 0
+        new_m = jnp.where(mpos, jnp.where(apos, m, m + a),
+                          jnp.where(apos, m, m - a))
+        new_a = jnp.where(mpos, jnp.where(apos, m - a, m),
+                          jnp.where(apos, m + a, m))
+        return jnp.stack([new_m, new_a], axis=1)
     for mag, ang in reversed(steps):
         m = residue[:, mag]
         a = residue[:, ang]
