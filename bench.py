@@ -78,7 +78,7 @@ def main() -> None:
     )
 
     # warmup / compile
-    (out, out_len, out_i16), carry2 = decode_chunk_batch(
+    (out_i16, out_len), carry2 = decode_chunk_batch(
         cs, fr, carry, with_i16=True
     )
     jax.block_until_ready(out_i16)
@@ -87,7 +87,7 @@ def main() -> None:
     t0 = time.perf_counter()
     c = carry
     for _ in range(args.iters):
-        (out, out_len, out_i16), c = decode_chunk_batch(
+        (out_i16, out_len), c = decode_chunk_batch(
             cs, fr, c, with_i16=True
         )
     jax.block_until_ready(out_i16)

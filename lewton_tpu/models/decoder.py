@@ -37,6 +37,24 @@ from ..ops.floor_curve import (
     floor1_step_matrix,
 )
 
+from ..ops.synth_kernel import fused_floor_couple
+from ..ops.imdct import imdct_batch
+from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
+from ..tables import (
+    bark_cos_omega,
+    floor1_db_exp_constants,
+    imdct_matrix,
+    window_slope,
+)
+
+__all__ = ["CompiledSetup", "compile_setup", "StreamDecoder", "decode_frames"]
+
+DEFAULT_CHUNK = 64
+
+#: opt-in: route floor1 render + coupling + dot through the hand-written
+#: Pallas kernel (ops/synth_kernel.py) instead of XLA-fused ops
+USE_FUSED_SYNTH_KERNEL = False
+
 
 def precompute_brackets(cs: "CompiledSetup", fr: dict) -> dict:
     """Compute floor1 brackets for a whole [S, T] stream batch in ONE GEMM.
@@ -63,23 +81,6 @@ def precompute_brackets(cs: "CompiledSetup", fr: dict) -> dict:
         b.reshape((S, T) + b.shape[1:]) for b in br
     )
     return fr
-from ..ops.synth_kernel import fused_floor_couple
-from ..ops.imdct import imdct_batch
-from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
-from ..tables import (
-    bark_cos_omega,
-    floor1_db_exp_constants,
-    imdct_matrix,
-    window_slope,
-)
-
-__all__ = ["CompiledSetup", "compile_setup", "StreamDecoder", "decode_frames"]
-
-DEFAULT_CHUNK = 64
-
-#: opt-in: route floor1 render + coupling + dot through the hand-written
-#: Pallas kernel (ops/synth_kernel.py) instead of XLA-fused ops
-USE_FUSED_SYNTH_KERNEL = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -308,7 +309,8 @@ def decode_frames_core(
 ):
     """Decode one chunk of T packets for one stream (untraced core).
 
-    Returns ((out [T, C, n1] f32, out_len [T] i32, [opt] out_i16), new_carry);
+    Returns ((out [T, C, n1] f32|i16, out_len [T] i32), new_carry) — i16
+    when with_i16 (the f32 buffer is not materialized);
     with `compact_cap` set, returns ((pcm [cap, C] i16, total, out_len),
     new_carry) — the compacted form transfers ~100x less over PCIe, host
     chooses cap >= expected total + n1.
@@ -366,7 +368,9 @@ def decode_frames_core(
         if with_i16:
             scaled = out * jnp.float32(32768.0)
             clamped = jnp.clip(scaled, -32768.0, 32767.0)
-            return (out, out_len, jnp.trunc(clamped).astype(jnp.int16)), carry
+            # i16-only output: materializing the unused f32 buffer would
+            # cost a full extra HBM pass
+            return (jnp.trunc(clamped).astype(jnp.int16), out_len), carry
         return (out, out_len), carry
 
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
@@ -410,7 +414,7 @@ def decode_frames_core(
         scaled = out * jnp.float32(32768.0)
         clamped = jnp.clip(scaled, -32768.0, 32767.0)
         out_i16 = jnp.trunc(clamped).astype(jnp.int16)
-        return (out, out_len, out_i16), carry
+        return (out_i16, out_len), carry
     return (out, out_len), carry
 
 
