@@ -74,7 +74,7 @@ def overlap_add_batch(
     n1: int,
     carry,
 ):
-    """Returns ((out [T, C, n1] f32, out_len [T] i32), new_carry)."""
+    """Returns ((out [T, C, 3*n1/4] f32, out_len [T] i32), new_carry)."""
     T, C, _ = audio.shape
     W = n1 // 2
     pwr0, plen0, started0 = carry
@@ -129,8 +129,12 @@ def overlap_add_batch(
                             jnp.where(long_blk, W, n0 >> 1))
     left_start = jnp.where(long_blk & ~prev_flag, (n1 - n0) >> 2, 0)
     out_len = jnp.where(valid & started_seq, right_start - left_start, 0)
-    out = jnp.where(iota_n[None, None, :] < out_len[:, None, None], mixed,
-                    jnp.float32(0.0))
+    # out_len never exceeds 3n1/4 (long block, short next, long prev), so
+    # the output buffer is materialized at that width — 25% less HBM for
+    # the mix pass and everything downstream (i16, compaction, D2H)
+    outw = 3 * n1 // 4
+    out = jnp.where(iota_n[None, None, :outw] < out_len[:, None, None],
+                    mixed[:, :, :outw], jnp.float32(0.0))
 
     # ---- carry out: state after the last valid packet ----
     nvalid = jnp.sum(valid.astype(jnp.int32))
