@@ -5,8 +5,9 @@ Architecture (SURVEY.md section 7): the host entropy front-end
 this module stacks them into fixed-shape *frames*, and a single jitted
 function runs the whole numeric half for a chunk of T packets:
 
-    floor curves -> inverse coupling -> floor x residue -> IMDCT (MXU)
-    -> windowing / overlap-add (lax.scan over packet time)
+    floor curves (MXU bracket GEMM + exact f32 Bresenham) -> inverse
+    coupling -> floor x residue -> IMDCT (MXU) -> windowing / overlap-add
+    (fully parallel over packet time; the carry is a one-packet shift)
 
 Everything data-dependent (mode, blockflag, floor posts, coupling steps) is
 turned into gathers over per-setup constant tables, so one compilation
@@ -302,21 +303,10 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     return res.astype(table.dtype)
 
 
-def decode_frames_core(
-    cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
-    imdct=imdct_batch, compact_cap: int | None = None,
-    with_taps: bool = False,
-):
-    """Decode one chunk of T packets for one stream (untraced core).
-
-    Returns ((out [T, C, n1] f32|i16, out_len [T] i32), new_carry) — i16
-    when with_i16 (the f32 buffer is not materialized);
-    with `compact_cap` set, returns ((pcm [cap, C] i16, total, out_len),
-    new_carry) — the compacted form transfers ~100x less over PCIe, host
-    chooses cap >= expected total + n1.
-    `imdct` is injectable so the tensor-parallel path can substitute a
-    collective-based transform (see lewton_tpu.parallel.batch).
-    """
+def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
+                             allow_fused: bool = True):
+    """Stages 1-4 (coupling, floors, dot, IMDCT): per-packet, dependency
+    free. Returns (audio [N, C, n1], blockflag [N], taps)."""
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.n1 // 2
@@ -342,9 +332,9 @@ def decode_frames_core(
     # Pallas kernel (12.8k x vs 7.4k x realtime), so the fused path is
     # opt-in for experimentation only.
     fused = (
-        USE_FUSED_SYNTH_KERNEL
+        USE_FUSED_SYNTH_KERNEL and allow_fused
         and cs.has_floor1 and not cs.has_floor0
-        and cs.static_coupling is not None and not with_taps
+        and cs.static_coupling is not None
         and imdct is imdct_batch  # tp-sharded path keeps the plain ops
         and jax.default_backend() == "tpu"
     )
@@ -358,20 +348,7 @@ def decode_frames_core(
             cs.static_coupling, cs.db_c0, cs.db_c1,
         )
         audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
-        (out, out_len), carry = overlap_add_batch(
-            audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
-            cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
-        )
-        if compact_cap is not None:
-            pcm, total = compact_i16(out, out_len, compact_cap)
-            return (pcm, total, out_len), carry
-        if with_i16:
-            scaled = out * jnp.float32(32768.0)
-            clamped = jnp.clip(scaled, -32768.0, 32767.0)
-            # i16-only output: materializing the unused f32 buffer would
-            # cost a full extra HBM pass
-            return (jnp.trunc(clamped).astype(jnp.int16), out_len), carry
-        return (out, out_len), carry
+        return audio, bf, taps
 
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
     curve = jnp.zeros_like(residue)
@@ -398,24 +375,61 @@ def decode_frames_core(
     # 4. IMDCT on the MXU
     audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
     taps["post_mdct"] = audio
+    return audio, bf, taps
 
-    # 5. window + overlap-add (parallel over packet time; the carry is a
-    #    one-packet shift, not an accumulation)
+
+def synthesize_audio(cs: CompiledSetup, fr: dict, imdct=imdct_batch):
+    """Per-packet synthesis prefix (coupling, floors, dot, IMDCT) with NO
+    inter-packet or inter-stream dependencies — batch callers run it once
+    over the flattened (stream, packet) axes so every GEMM sees full-size
+    operands instead of vmapped 64-row batches. Returns (audio, blockflag).
+    """
+    audio, bf, _ = _synthesize_audio_tapped(cs, fr, imdct)
+    return audio, bf
+
+
+def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
+                  with_i16: bool = False, compact_cap: int | None = None):
+    """Per-stream tail: overlap-add + output formatting (the only part
+    that needs the stream axis under vmap)."""
     (out, out_len), carry = overlap_add_batch(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
     )
-    if with_taps:
-        return (out, out_len, taps), carry
     if compact_cap is not None:
         pcm, total = compact_i16(out, out_len, compact_cap)
         return (pcm, total, out_len), carry
     if with_i16:
         scaled = out * jnp.float32(32768.0)
         clamped = jnp.clip(scaled, -32768.0, 32767.0)
-        out_i16 = jnp.trunc(clamped).astype(jnp.int16)
-        return (out_i16, out_len), carry
+        # i16-only output: materializing the unused f32 buffer would cost
+        # a full extra HBM pass
+        return (jnp.trunc(clamped).astype(jnp.int16), out_len), carry
     return (out, out_len), carry
+
+
+def decode_frames_core(
+    cs: CompiledSetup, fr: dict, carry, with_i16: bool = False,
+    imdct=imdct_batch, compact_cap: int | None = None,
+    with_taps: bool = False,
+):
+    """Decode one chunk of T packets for one stream (untraced core).
+
+    Returns ((out [T, C, 3n1/4] f32|i16, out_len [T] i32), new_carry);
+    with compact_cap, ((pcm [cap, C] i16, total, out_len), new_carry).
+    """
+    audio, bf, taps = _synthesize_audio_tapped(
+        cs, fr, imdct, allow_fused=not with_taps)
+
+    # 5. window + overlap-add (parallel over packet time; the carry is a
+    #    one-packet shift, not an accumulation)
+    if with_taps:
+        (out, out_len), carry = overlap_add_batch(
+            audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+            cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+        )
+        return (out, out_len, taps), carry
+    return finish_stream(cs, audio, bf, fr, carry, with_i16, compact_cap)
 
 
 def predict_out_lens(cs: CompiledSetup, fr: dict, started: np.ndarray | bool):

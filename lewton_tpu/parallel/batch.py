@@ -28,7 +28,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ..models.decoder import CompiledSetup, decode_frames_core
+from ..models.decoder import (
+    CompiledSetup,
+    decode_frames_core,
+    finish_stream,
+    synthesize_audio,
+)
 from ..ops.windowing import init_window_carry
 
 __all__ = [
@@ -51,13 +56,22 @@ def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def _batch_core(cs, fr, carry, with_i16, compact_cap, imdct=None):
+    """vmap the whole per-stream core. (A flat merged-(S,T) synthesis with
+    a vmapped tail measured ~10% slower — the flat->vmap boundary
+    materializes audio in an unfavorable layout — so the straightforward
+    vmap stays.)"""
+    kw = {"imdct": imdct} if imdct is not None else {}
+    fn = partial(decode_frames_core, with_i16=with_i16,
+                 compact_cap=compact_cap, **kw)
+    return jax.vmap(fn, in_axes=(None, 0, 0))(cs, fr, carry)
+
+
 @partial(jax.jit, static_argnames=("with_i16", "compact_cap"))
 def decode_chunk_batch(cs: CompiledSetup, fr: dict, carry, with_i16=False,
                        compact_cap=None):
-    """vmap over the stream axis: fr leaves [S, T, ...], carry leaves [S, ...]."""
-    fn = partial(decode_frames_core, with_i16=with_i16,
-                 compact_cap=compact_cap)
-    return jax.vmap(fn, in_axes=(None, 0, 0))(cs, fr, carry)
+    """Stream-batch chunk decode: fr leaves [S, T, ...], carry leaves [S, ...]."""
+    return _batch_core(cs, fr, carry, with_i16, compact_cap)
 
 
 def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
@@ -149,8 +163,7 @@ def unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes) -> dict:
 def decode_chunk_batch_packed(cs, residue, bbuf, ibuf, fbuf, shapes, carry,
                               compact_cap):
     fr = unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes)
-    fn = partial(decode_frames_core, compact_cap=compact_cap)
-    return jax.vmap(fn, in_axes=(None, 0, 0))(cs, fr, carry)
+    return _batch_core(cs, fr, carry, False, compact_cap)
 
 
 _SHARDED_CACHE: dict = {}
@@ -161,10 +174,8 @@ def _make_sharded(mesh: Mesh, with_i16: bool, compact_cap=None):
     imdct = partial(_imdct_tp, axis="tp", ntp=ntp) if ntp > 1 else None
 
     def body(cs_, fr_, carry_):
-        kw = {"imdct": imdct} if imdct is not None else {}
-        fn = partial(decode_frames_core, with_i16=with_i16,
-                     compact_cap=compact_cap, **kw)
-        return jax.vmap(fn, in_axes=(None, 0, 0))(cs_, fr_, carry_)
+        return _batch_core(cs_, fr_, carry_, with_i16, compact_cap,
+                           imdct=imdct)
 
     fn = shard_map(
         body, mesh=mesh,
