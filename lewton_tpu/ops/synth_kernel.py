@@ -31,25 +31,40 @@ def _kernel(br_ref, res_ref, used_ref, out_ref, *, C, W, steps, db_c0, db_c1):
     R = out_ref.shape[0]
     binx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
-    # ---- floor1 Bresenham + exp per channel ----
+    # ---- floor1 Bresenham + exp per channel (exact f32, see
+    # floor_curve.floor1_render for the two-limb/correction argument) ----
+    binx_f = binx.astype(jnp.float32)
+    one64 = jnp.float32(64.0)
+
+    def fdiv(x, y):
+        q = jnp.floor(x / y)
+        r = x - q * y
+        q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
+        q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
+        return q
+
     curves = []
     for c in range(C):
-        lo_x = br_ref[:, 0, c * W : (c + 1) * W].astype(jnp.int32)
-        lo_y = br_ref[:, 1, c * W : (c + 1) * W].astype(jnp.int32)
-        hi_x = br_ref[:, 2, c * W : (c + 1) * W].astype(jnp.int32)
-        hi_y = br_ref[:, 3, c * W : (c + 1) * W].astype(jnp.int32)
+        lo_x = br_ref[:, 0, c * W : (c + 1) * W]
+        lo_y = br_ref[:, 1, c * W : (c + 1) * W]
+        hi_x = br_ref[:, 2, c * W : (c + 1) * W]
+        hi_y = br_ref[:, 3, c * W : (c + 1) * W]
         dy = hi_y - lo_y
-        adx = jnp.maximum(hi_x - lo_x, 1)
+        adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
+        sgn = jnp.sign(dy)
         ady = jnp.abs(dy)
-        base = jnp.sign(dy) * (ady // adx)
+        base = sgn * fdiv(ady, adx)
         ady_r = ady - jnp.abs(base) * adx
-        d = binx - lo_x
-        k = (d * ady_r) // adx
-        y = lo_y + base * d + jnp.sign(dy) * k
-        idx = jnp.clip(y, 0, 255)
-        curve = jnp.exp(
-            idx.astype(jnp.float32) * jnp.float32(db_c1) + jnp.float32(db_c0)
-        )
+        d = binx_f - lo_x
+        ah = jnp.floor(ady_r / one64)
+        al = ady_r - ah * one64
+        a_hi = d * ah
+        q1 = fdiv(a_hi, adx)
+        r1 = a_hi - q1 * adx
+        k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
+        y = lo_y + base * d + sgn * k
+        idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
+        curve = jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
         used = used_ref[:, c][:, None]  # f32 0/1
         curves.append(curve * used)
 
