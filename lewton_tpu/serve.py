@@ -155,10 +155,21 @@ class StreamingScheduler:
     def __init__(self, capacity: int = 16, chunk: int = 16):
         self.capacity = capacity
         self.chunk = chunk
-        self.groups: dict[bytes, _Group] = {}
+        #: setup-bytes -> list of groups (a new group spins up — one more
+        #: compiled batch of the same program shape — when all are full)
+        self.groups: dict[bytes, list[_Group]] = {}
         self.streams: dict[object, tuple[_Group, _StreamState]] = {}
         #: streams still waiting for their three header packets
         self.pending: dict[object, list] = {}
+
+    def _group_with_room(self, ident_pck: bytes, setup_pck: bytes) -> _Group:
+        lst = self.groups.setdefault(setup_pck, [])
+        for grp in lst:
+            if grp.free:
+                return grp
+        grp = _Group(ident_pck, setup_pck, self.capacity, self.chunk)
+        lst.append(grp)
+        return grp
 
     def add_stream(self, sid, ogg_bytes: bytes | None = None) -> None:
         """Register a stream. With ``ogg_bytes`` the whole stream is queued
@@ -197,13 +208,7 @@ class StreamingScheduler:
             return
         # headers complete: assign a group and promote to active
         ident_pck, setup_pck = headers[0].data, headers[2].data
-        key = setup_pck
-        grp = self.groups.get(key)
-        if grp is None:
-            grp = _Group(ident_pck, setup_pck, self.capacity, self.chunk)
-            self.groups[key] = grp
-        if not grp.free:
-            raise RuntimeError("scheduler group at capacity")
+        grp = self._group_with_room(ident_pck, setup_pck)
         st = _StreamState(sid=sid, slot=-1, packets=[])
         st.reader = rdr
         st.serial = serial
@@ -217,9 +222,10 @@ class StreamingScheduler:
     def step(self) -> bool:
         """One device step over every group with pending work. Returns
         whether any work remains."""
-        for grp in self.groups.values():
-            grp.step()
-        return any(g.pending() for g in self.groups.values())
+        for lst in self.groups.values():
+            for grp in lst:
+                grp.step()
+        return any(g.pending() for lst in self.groups.values() for g in lst)
 
     def poll(self, sid) -> np.ndarray:
         """Drain decoded PCM for a stream: interleaved i16 [n, C]."""

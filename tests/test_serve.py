@@ -77,3 +77,17 @@ def test_scheduler_incremental_feed(corpus_dir):
     want = OggStreamReader(path, backend="numpy").read_all_i16()
     assert out.shape == want.shape
     assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_scheduler_group_overflow_spawns_new_group(corpus_dir):
+    """More streams than one group's capacity: a second group forms."""
+    data = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
+    sched = StreamingScheduler(capacity=2, chunk=8)
+    for sid in range(5):
+        sched.add_stream(sid, data)
+    while sched.step():
+        pass
+    outs = [sched.poll(sid) for sid in range(5)]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+    assert len(next(iter(sched.groups.values()))) == 3  # ceil(5/2)
