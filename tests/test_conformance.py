@@ -79,3 +79,24 @@ def test_chained_reinit_fields(corpus_dir):
     while r.read_dec_packet() is not None:
         pass
     assert r.stream_serial != serial0  # re-initialized on the second link
+
+
+def test_all_output_formats_consistent(corpus_dir):
+    """planar/interleaved x f32/i16 must be views of the same decode
+    (ref: lewton Samples trait impls, src/samples.rs)."""
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    outs = {}
+    for fmt in ("planar_f32", "planar_i16", "interleaved_f32",
+                "interleaved_i16"):
+        r = OggStreamReader(path)
+        chunks = []
+        while (p := r.read_dec_packet_generic(fmt)) is not None:
+            chunks.append(p)
+        outs[fmt] = chunks
+    from lewton_tpu.samples import to_i16
+
+    for a, b, c, d in zip(outs["planar_f32"], outs["planar_i16"],
+                          outs["interleaved_f32"], outs["interleaved_i16"]):
+        np.testing.assert_array_equal(to_i16(a), b)
+        np.testing.assert_array_equal(a.T.reshape(-1), c)
+        np.testing.assert_array_equal(b.T.reshape(-1), d)
