@@ -67,3 +67,21 @@ def test_multiplexed_native_backend(corpus_dir):
     solo = OggStreamReader(a, backend="native").read_all_i16()
     got = OggStreamReader(muxed, backend="native").read_all_i16()
     np.testing.assert_array_equal(solo, got)
+
+
+def test_junk_between_pages_resyncs(corpus_dir):
+    """Garbage between pages must be skipped by capture-pattern resync
+    (both demuxers), like the ogg crate's recapture behavior."""
+    data = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
+    pages = _split_pages(data)
+    junky = b"JUNK" * 7 + pages[0] + b"\x00" * 33
+    for i, p in enumerate(pages[1:]):
+        junky += p + (b"OggX" * (i % 3))  # near-capture junk too
+    want = OggStreamReader(data).read_all_i16()
+    got = OggStreamReader(junky).read_all_i16()
+    np.testing.assert_array_equal(want, got)
+    from lewton_tpu.ogg.demux import PacketReader as PyReader
+
+    # force the pure-python demuxer as well
+    got_py = OggStreamReader(PyReader(junky)).read_all_i16()
+    np.testing.assert_array_equal(want, got_py)
