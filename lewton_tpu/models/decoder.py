@@ -100,6 +100,10 @@ class CompiledSetup:
     f0_order_max: int  # Omax (0 if no floor0 used)
     has_floor0: bool
     has_floor1: bool
+    #: effective spectral width: residues are zero past the setup's residue
+    #: `end` (per channel), so floors/coupling/IMDCT run at w_eff <= n1/2
+    #: (padded to a lane multiple). Typical q3 stereo: 896 of 1024.
+    w_eff: int
     db_c0: float  # inverse-dB exp constants (tables.floor1_db_exp_constants)
     db_c1: float
     #: coupling steps as a static tuple when identical across all modes
@@ -113,11 +117,11 @@ class CompiledSetup:
     f0_order: jnp.ndarray  # i32 [M, C]
     f0_lfv_scale: jnp.ndarray  # f32 [M, C]
     f0_amp_offset: jnp.ndarray  # f32 [M, C]
-    f0_cos_omega: jnp.ndarray  # f32 [M, C, W]
+    f0_cos_omega: jnp.ndarray  # f32 [M, C, w_eff]
     coup_mag: jnp.ndarray  # i32 [M, S]
     coup_ang: jnp.ndarray  # i32 [M, S]
     coup_n: jnp.ndarray  # i32 [M]
-    f1_step: jnp.ndarray  # f32 [C, M*(P+1), W] step matrix, GEMM layout
+    f1_step: jnp.ndarray  # f32 [C, M*(P+1), w_eff] step matrix, GEMM layout
     slope0: jnp.ndarray  # f32 [W] (zero past n0/2)
     slope1: jnp.ndarray  # f32 [W]
     imdct_m0: jnp.ndarray  # f32 [n0/2, n0]
@@ -131,7 +135,8 @@ class CompiledSetup:
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
-        "has_floor0", "has_floor1", "db_c0", "db_c1", "static_coupling",
+        "has_floor0", "has_floor1", "w_eff", "db_c0", "db_c1",
+        "static_coupling",
     )
 
     def tree_flatten(self):
@@ -211,6 +216,25 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     slope0[: n0 // 2] = window_slope(n0 // 2)
     slope1 = window_slope(n1 // 2)
 
+    # effective spectral width: max per-channel residue extent across all
+    # (mode, submap); type-2 ends are over the interleaved vector
+    w_eff = 0
+    for m in setup.modes:
+        mapping = setup.mappings[m.mapping]
+        n2 = (n1 if m.blockflag else n0) // 2
+        for sm_i, res_i in enumerate(mapping.submap_residue):
+            r = setup.residues[res_i]
+            if r is None:  # synthetic setups without residue configs
+                w_eff = W
+                continue
+            ch_in = max(1, sum(1 for c in range(C) if mapping.mux[c] == sm_i))
+            if r.residue_type == 2:
+                per_ch = -(-min(r.end, n2 * ch_in) // ch_in)
+            else:
+                per_ch = min(r.end, n2)
+            w_eff = max(w_eff, per_ch)
+    w_eff = min(W, max(128, -(-w_eff // 128) * 128))  # lane-align
+
     db_c0, db_c1 = floor1_db_exp_constants()
     step_lists = {
         tuple(zip(setup.mappings[m.mapping].coupling_magnitude,
@@ -222,7 +246,7 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     return CompiledSetup(
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
-        has_floor0=bool(f0s), has_floor1=bool(f1s),
+        has_floor0=bool(f0s), has_floor1=bool(f1s), w_eff=w_eff,
         db_c0=db_c0, db_c1=db_c1, static_coupling=static_coupling,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
@@ -230,12 +254,15 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         f_is_floor1=dev(f_is_floor1),
         f1_xs=dev(f1_xs), f1_mult=dev(f1_mult),
         f0_order=dev(f0_order), f0_lfv_scale=dev(f0_lfv_scale),
-        f0_amp_offset=dev(f0_amp_offset), f0_cos_omega=dev(f0_cos_omega),
+        f0_amp_offset=dev(f0_amp_offset),
         coup_mag=dev(coup_mag), coup_ang=dev(coup_ang), coup_n=dev(coup_n),
-        f1_step=dev(floor1_step_matrix(f1_xs, W)),
+        f0_cos_omega=dev(f0_cos_omega[:, :, :w_eff]),
+        f1_step=dev(floor1_step_matrix(f1_xs, w_eff)),
         slope0=dev(slope0), slope1=dev(slope1),
-        imdct_m0=dev(imdct_matrix(n0, dtype=np.float32)),
-        imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)),
+        imdct_m0=dev(
+            imdct_matrix(n0, dtype=np.float32)[: min(w_eff, n0 // 2)]
+        ),
+        imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)[:w_eff]),
     )
 
 
@@ -309,18 +336,19 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
     free. Returns (audio [N, C, n1], blockflag [N], taps)."""
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
-    W = cs.n1 // 2
+    W = cs.w_eff  # spectra are zero past the residue extent (see w_eff)
 
     taps = {}
 
     # 1. inverse coupling on raw residue (ref order: coupling before floor
     #    multiply, src/audio.rs:991-1039)
-    taps["residue_pre_inverse"] = fr["residue"]
+    res_in = fr["residue"][:, :, :W]
+    taps["residue_pre_inverse"] = res_in
     if cs.static_coupling is not None:
-        residue = inverse_coupling_static(fr["residue"], cs.static_coupling)
+        residue = inverse_coupling_static(res_in, cs.static_coupling)
     else:
         residue = inverse_coupling_batch(
-            fr["residue"], mode, cs.coup_mag, cs.coup_ang, cs.coup_n
+            res_in, mode, cs.coup_mag, cs.coup_ang, cs.coup_n
         )
     taps["residue_post_inverse"] = residue
 
@@ -344,7 +372,7 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
             cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
         )
         spectra = fused_floor_couple(
-            jnp.stack(br, axis=1), fr["residue"], fr["f_used"],
+            jnp.stack(br, axis=1), fr["residue"][:, :, :W], fr["f_used"],
             cs.static_coupling, cs.db_c0, cs.db_c1,
         )
         audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)

@@ -34,8 +34,10 @@ PRECISION = "high"
 def imdct_batch(
     spectra: jnp.ndarray,  # f32 [T, C, n1/2] (short packets use first n0/2)
     blockflag: jnp.ndarray,  # i32 [T]
-    m0: jnp.ndarray,  # f32 [n0/2, n0] IMDCT matrix, short blocks
-    m1: jnp.ndarray,  # f32 [n1/2, n1] IMDCT matrix, long blocks
+    m0: jnp.ndarray,  # f32 [<=n0/2, n0] IMDCT matrix, short blocks
+    m1: jnp.ndarray,  # f32 [<=n1/2, n1] IMDCT matrix, long blocks
+    #   (rows may be clipped to the setup's effective spectral width —
+    #   spectra are exactly zero past it)
 ) -> jnp.ndarray:
     """Returns f32 [T, C, n1]; short-block outputs occupy [:, :, :n0]."""
     n0 = m0.shape[1]
@@ -48,7 +50,7 @@ def imdct_batch(
     if n0 == n1:
         return long_out
     short_out = jnp.einsum(
-        "tck,kn->tcn", spectra[:, :, : n0 // 2], m0,
+        "tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0,
         precision=prec,
         preferred_element_type=jnp.float32,
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .header import Floor1, IdentHeader, Mapping, Mode, SetupHeader
+from .header import Floor1, IdentHeader, Mapping, Mode, Residue, SetupHeader
 
 __all__ = ["synthetic_headers", "synthetic_frames"]
 
@@ -50,8 +50,16 @@ def synthetic_headers(
         submap_floor=[0],
         submap_residue=[0],
     )
+    # residue extent matches what libvorbisenc emits at ~q3 (type 2, end
+    # well short of the interleaved n1*C/2) so w_eff clipping is realistic
+    n1 = 1 << bs1_exp
+    residue = Residue(
+        residue_type=2, begin=0, end=min(1600, n1 * channels // 2),
+        partition_size=32, classifications=10, classbook=0,
+        cascades=[0] * 10, books=[[-1] * 8] * 10,
+    )
     setup = SetupHeader(
-        codebooks=[], floors=[floor], residues=[None], mappings=[mapping],
+        codebooks=[], floors=[floor], residues=[residue], mappings=[mapping],
         modes=[Mode(0, 0), Mode(1, 0)],
     )
     return ident, setup

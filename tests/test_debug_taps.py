@@ -45,11 +45,13 @@ def test_taps_match_between_backends(corpus_dir):
     (out, out_len, taps), _ = decode_frames(cs, fr, carry, with_taps=True)
 
     for k in ("residue_pre_inverse", "residue_post_inverse", "pre_mdct"):
-        dev = np.asarray(taps[k])
+        dev = np.asarray(taps[k])  # device taps span w_eff columns
         for i, ref in enumerate(t[k]):
-            n2 = ref.shape[1]
+            n2 = min(ref.shape[1], cs.w_eff)
             np.testing.assert_allclose(
-                dev[i, :, :n2], ref, atol=2e-6, err_msg=f"{k}[{i}]")
+                dev[i, :, :n2], ref[:, :n2], atol=2e-6, err_msg=f"{k}[{i}]")
+            # the w_eff premise: reference values past it are exactly zero
+            assert np.all(ref[:, cs.w_eff:] == 0), f"{k}[{i}] beyond w_eff"
     dev = np.asarray(taps["post_mdct"])
     for i, ref in enumerate(t["post_mdct"]):
         n = ref.shape[1]
