@@ -272,9 +272,12 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
 
 
 def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
-    """Stack T<=chunk packet plans into padded dense arrays (numpy)."""
+    """Stack T<=chunk packet plans into padded dense arrays (numpy).
+
+    Residue rows carry cs.w_eff columns — values past the setup's residue
+    extent are identically zero (see CompiledSetup.w_eff)."""
     T = chunk
-    C, W, P, Omax = cs.channels, cs.n1 // 2, cs.max_posts, cs.f0_order_max
+    C, W, P, Omax = cs.channels, cs.w_eff, cs.max_posts, cs.f0_order_max
     fr = {
         "mode": np.zeros(T, np.int32),
         "prev_flag": np.zeros(T, bool),
@@ -292,7 +295,8 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         fr["prev_flag"][t] = plan.prev_window_flag
         fr["next_flag"][t] = plan.next_window_flag
         fr["valid"][t] = True
-        fr["residue"][t, :, : plan.n // 2] = plan.residue
+        w = min(plan.n // 2, W)
+        fr["residue"][t, :, :w] = plan.residue[:, :w]
         for c, f in enumerate(plan.floors):
             if f[0] == "unused":
                 continue
@@ -524,6 +528,7 @@ class StreamDecoder:
 
             if native.available():
                 self._native = native.NativeStream(*raw_headers)
+                self._native.frame_width = self.cs.w_eff
             elif frontend == "native":
                 raise RuntimeError("native front-end requested but not built")
 

@@ -49,7 +49,7 @@ def _load():
     lib.lt_decode_chunk.restype = C.c_int
     lib.lt_decode_chunk.argtypes = [
         C.c_void_p, u8p, u64p, u64p, C.c_int,
-        i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p,
+        i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p, C.c_int,
     ]
     lib.lt_decoder_new.restype = C.c_void_p
     lib.lt_decoder_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
@@ -135,10 +135,20 @@ class NativeStream:
             self._lib.lt_stream_free(self._h)
             self._h = None
 
+    #: residue frame width; callers with a compiled setup narrow this to
+    #: the effective spectral extent (CompiledSetup.w_eff)
+    @property
+    def frame_width(self) -> int:
+        return getattr(self, "_frame_width", self.n1 // 2)
+
+    @frame_width.setter
+    def frame_width(self, value: int) -> None:
+        self._frame_width = int(value)
+
     def frame_buffers(self, T: int, lead: tuple = ()) -> dict:
         """Allocate frame arrays with shape [*lead, T, ...] (see
         models.decoder.pack_frames for the layout)."""
-        Cn, W, P = self.channels, self.n1 // 2, self.max_posts
+        Cn, W, P = self.channels, self.frame_width, self.max_posts
         Om = max(self.f0_order_max, 1)
         z = lambda *s, dt=np.float32: np.zeros(lead + s, dt)  # noqa: E731
         return {
@@ -184,6 +194,7 @@ class NativeStream:
             _ptr(fr["residue"], C.c_float), _u8(u8v(fr["f_used"])),
             _ptr(fr["f1_ys"], C.c_int32), _u8(u8v(fr["f1_flags"])),
             _ptr(fr["f0_cosc"], C.c_float), _ptr(fr["f0_amp"], C.c_float),
+            int(fr["residue"].shape[-1]),
         )
         fr["valid"][:n] = status[:n] == 0
         return fr, status

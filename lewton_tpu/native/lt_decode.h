@@ -17,9 +17,10 @@ enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
 // Entropy half: one packet -> dense frame slices (see lt_entropy.cc).
 int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   int32_t* mode_out, uint8_t* prev_out, uint8_t* next_out,
-                  float* residue,                     // [C, W]
+                  float* residue,                     // [C, rw]
                   uint8_t* f_used,                    // [C]
                   int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted-x order
-                  float* f0_cosc, float* f0_amp);     // [C, Omax], [C]
+                  float* f0_cosc, float* f0_amp,      // [C, Omax], [C]
+                  uint32_t rw);  // residue row width (writes clamped)
 
 }  // namespace lt

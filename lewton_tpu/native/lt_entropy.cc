@@ -42,12 +42,14 @@ uint32_t render_point(uint32_t x0, uint32_t y0, uint32_t x1, uint32_t y1,
 // Returns a status code.
 int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   int32_t* mode_out, uint8_t* prev_out,
-                  uint8_t* next_out, float* residue,  // [C, W]
+                  uint8_t* next_out, float* residue,  // [C, rw]
                   uint8_t* f_kind,                    // [C]
                   int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
-                  float* f0_cosc, float* f0_amp) {    // [C,Omax],[C]
-  const uint32_t C = st->channels, W = st->W, P = st->P, Omax = st->Omax;
-  memset(residue, 0, sizeof(float) * C * W);
+                  float* f0_cosc, float* f0_amp,      // [C,Omax],[C]
+                  uint32_t rw) {  // residue row width (<= n1/2); writes past
+                                  // it drop, bit consumption is unchanged
+  const uint32_t C = st->channels, P = st->P, Omax = st->Omax;
+  memset(residue, 0, sizeof(float) * C * rw);
   memset(f_kind, 0, C);
   memset(f1_ys, 0, sizeof(int32_t) * C * P);
   memset(f1_flags, 0, C * P);
@@ -317,8 +319,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       }
       // deinterleave: channel j takes every ch-th value starting at j
       for (uint32_t k = 0; k < ch_cnt; ++k) {
-        float* dst = residue + (size_t)chans[k] * W;
-        for (uint32_t i = k, o = 0; i < actual; i += ch_cnt, ++o) dst[o] = inter[i];
+        float* dst = residue + (size_t)chans[k] * rw;
+        for (uint32_t i = k, o = 0; i < actual && o < rw; i += ch_cnt, ++o)
+          dst[o] = inter[i];
       }
     } else {
       // types 0/1: per-channel
@@ -362,7 +365,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
               if (book_idx < 0) continue;
               const Codebook& book = st->setup.codebooks[book_idx];
               uint32_t dim = book.dimensions;
-              float* row = residue + (size_t)chans[j] * W;
+              float* row = residue + (size_t)chans[j] * rw;
               if (r.residue_type == 0) {
                 uint32_t step = r.partition_size / dim;
                 for (uint32_t i = 0; i < step; ++i) {
@@ -372,8 +375,10 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     break;
                   }
                   const float* vec = book.vq.data() + (size_t)e * dim;
-                  for (uint32_t d = 0; d < dim; ++d)
-                    row[offs + i + d * step] += vec[d];
+                  for (uint32_t d = 0; d < dim; ++d) {
+                    uint32_t pos = offs + i + d * step;
+                    if (pos < rw) row[pos] += vec[d];
+                  }
                 }
               } else {
                 uint32_t i = 0;
@@ -384,8 +389,10 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     break;
                   }
                   if (actual_size - (offs + i) < dim) break;
-                  const float* vec = book.vq.data() + (size_t)e * dim;
-                  for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
+                  if (offs + i + dim <= rw) {
+                    const float* vec = book.vq.data() + (size_t)e * dim;
+                    for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
+                  }
                   i += dim;
                 }
               }
@@ -461,14 +468,17 @@ int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
                     const uint64_t* lens, int T, int32_t* mode,
                     uint8_t* prevf, uint8_t* nextf, uint8_t* status,
                     float* residue, uint8_t* f_kind, int32_t* f1_ys,
-                    uint8_t* f1_flags, float* f0_cosc, float* f0_amp) {
-  const size_t C = st->channels, W = st->W, P = st->P, Om = st->Omax;
+                    uint8_t* f1_flags, float* f0_cosc, float* f0_amp,
+                    int rw) {  // residue row width (usually the setup's
+                               // effective spectral extent, <= n1/2)
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
   for (int t = 0; t < T; ++t) {
     status[t] = (uint8_t)lt::decode_packet(
         st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
-        residue + (size_t)t * C * W, f_kind + (size_t)t * C,
+        residue + (size_t)t * C * R, f_kind + (size_t)t * C,
         f1_ys + (size_t)t * C * P, f1_flags + (size_t)t * C * P,
-        f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C);
+        f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C, (uint32_t)rw);
   }
   return T;
 }

@@ -325,7 +325,7 @@ static int decode_packet_to_audio(Decoder* d, const uint8_t* pck, size_t len,
   int status = lt::decode_packet(
       &st, pck, len, &mode_num, &prevf, &nextf, d->residue.data(),
       d->f_used.data(), d->f1_ys.data(), d->f1_flags.data(),
-      d->f0_cosc.data(), d->f0_amp.data());
+      d->f0_cosc.data(), d->f0_amp.data(), st.W);
   if (status != lt::LT_OK) return status;
 
   const lt::Mode& mode = st.setup.modes[mode_num];

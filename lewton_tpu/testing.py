@@ -74,7 +74,7 @@ def synthetic_frames(
     """
     rng = np.random.RandomState(seed)
     lead = () if S is None else (S,)
-    C, W, P = cs.channels, cs.n1 // 2, cs.max_posts
+    C, W, P = cs.channels, cs.w_eff, cs.max_posts
     shp = lambda *s: lead + (T,) + s  # noqa: E731
     n_modes = 2
     fr = {

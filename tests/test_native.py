@@ -79,6 +79,7 @@ def test_entropy_parity(corpus_dir, name):
     cs = compile_setup(headers.ident, headers.setup)
     assert ns.max_posts == cs.max_posts
     assert ns.f0_order_max == cs.f0_order_max
+    ns.frame_width = cs.w_eff  # residue rows at the effective extent
 
     T = len(audio_pcks)
     fr_nat, status = ns.decode_chunk(audio_pcks)
