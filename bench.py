@@ -41,6 +41,11 @@ def main() -> None:
     )
     ap.add_argument("--imdct-precision", default=None,
                     choices=["default", "high", "highest"])
+    ap.add_argument(
+        "--serve", action="store_true",
+        help="StreamingScheduler throughput: --streams live streams fed "
+        "incrementally, aggregate x-realtime polled to completion",
+    )
     args = ap.parse_args()
     if args.imdct_precision:
         import lewton_tpu.ops.imdct as _im
@@ -51,6 +56,9 @@ def main() -> None:
         return
     if args.e2e:
         bench_e2e(args)
+        return
+    if args.serve:
+        bench_serve(args)
         return
 
     import jax
@@ -151,6 +159,57 @@ def check_conformance(args) -> None:
         "vs_baseline": 1.0 if bad == 0 and worst <= 2 else 0.0,
         "detail": {"platform": jax.devices()[0].platform,
                    "samples_over_2lsb": bad},
+    }))
+
+
+def bench_serve(args) -> None:
+    """Serving throughput: N concurrent streams through the scheduler."""
+    import subprocess
+    import time
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lewton_tpu.serve import StreamingScheduler
+    from tools import corpus
+
+    root = "tests/data/corpus"
+    corpus.ensure_corpus(root)
+    subprocess.run(["make", "-C", "lewton_tpu/native", "-s"], check=True)
+    files = ["stereo_44k_q3.ogg", "stereo_48k_q5.ogg", "mono_16k_q3.ogg"]
+    datas = [open(f"{root}/{f}", "rb").read() for f in files]
+    S = args.streams
+    sched = StreamingScheduler(capacity=max(8, S // len(files) + 1), chunk=64)
+    # warmup: one stream per distinct setup compiles each group's program
+    for i, d in enumerate(datas):
+        sched.add_stream(("warm", i), d)
+    while sched.step():
+        pass
+
+    total_samples = 0
+    rates = {}
+    t0 = time.perf_counter()
+    for i in range(S):
+        sched.add_stream(i, datas[i % len(datas)])
+    while sched.step():
+        pass
+    for i in range(S):
+        pcm = sched.poll(i)
+        grp, _ = sched.streams[i]
+        rates[i] = grp.cs.sample_rate
+        total_samples += pcm.shape[0] / grp.cs.sample_rate
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "serve_realtime_mixed_setups",
+        "value": round(total_samples / dt, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(total_samples / dt / 10000.0, 3),
+        "detail": {"streams": S, "setups": len(files),
+                   "wall_s": round(dt, 3),
+                   "audio_s": round(total_samples, 1),
+                   "platform": jax.devices()[0].platform},
     }))
 
 
