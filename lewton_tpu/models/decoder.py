@@ -325,10 +325,11 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     einsum for the handful of modes Vorbis allows. Exact for ints < 2^24."""
     m = table.shape[0]
     oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
-    # HIGHEST precision: the TPU default is bf16, which would quantize
-    # integer-valued tables (floor post positions!) and corrupt the curve
+    # Explicit precision: the TPU default is 1-pass bf16, which would
+    # quantize integer-valued tables (floor post positions: 850 -> 848!).
+    # HIGH (bf16x3) is exact for the < 2^24 integers stored here.
     res = jnp.einsum("tm,m...->t...", oh, table.astype(jnp.float32),
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=jax.lax.Precision.HIGH)
     if table.dtype == jnp.bool_:
         return res > 0.5
     return res.astype(table.dtype)

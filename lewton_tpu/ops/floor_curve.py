@@ -166,7 +166,9 @@ def floor1_brackets_mxu(
 
     m = step.shape[1] // (P + 1)
     oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
+    # HIGH (3-pass bf16) is exact here: all values are integers < 2^20 and
+    # three bf16 limbs cover 24 mantissa bits; ~2x cheaper than HIGHEST
+    hp = jax.lax.Precision.HIGH
 
     # one batched GEMM for all four telescopes: fold the mode one-hot into
     # the value tensor ([T,C,4,M*(P+1)]) against the pre-transposed step
