@@ -122,3 +122,52 @@ def test_native_asan_fuzz(corpus_dir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "without sanitizer findings" in r.stdout
+
+
+def test_random_packets_never_crash(corpus_dir):
+    """Pure-random packet bytes against a real setup: both entropy
+    front-ends must return cleanly (decode, unused floors, or VorbisError),
+    and agree on the resulting frames."""
+    import numpy as np
+
+    from lewton_tpu import native
+    from lewton_tpu.audio import decode_packet_entropy
+    from lewton_tpu.inside_ogg import read_headers
+    from lewton_tpu.models.decoder import compile_setup, pack_frames
+    from lewton_tpu.ogg import PacketReader
+
+    data = open(os.path.join(corpus_dir, "stereo_44k_q3.ogg"), "rb").read()
+    headers, serial = read_headers(PacketReader(data))
+    cs = compile_setup(headers.ident, headers.setup)
+    rng = np.random.RandomState(99)
+    pcks = []
+    for i in range(60):
+        n = int(rng.randint(1, 400))
+        b = bytearray(rng.randint(0, 256, n, dtype=np.uint8).tobytes())
+        b[0] &= 0xFE  # audio-packet bit clear so it parses as audio
+        pcks.append(bytes(b))
+    # python front-end
+    plans = []
+    py_status = []
+    for p in pcks:
+        try:
+            plans.append(decode_packet_entropy(headers.ident, headers.setup, p))
+            py_status.append(0)
+        except VorbisError:
+            plans.append(None)
+            py_status.append(2)
+    if native.available():
+        ns = native.NativeStream(headers.raw_ident, headers.raw_setup)
+        ns.frame_width = cs.w_eff
+        fr_nat, status = ns.decode_chunk(pcks)
+        assert list(status[: len(pcks)] > 1) == [s == 2 for s in py_status]
+        ok_plans = [pl for pl in plans if pl is not None]
+        fr_py = pack_frames(cs, ok_plans, len(ok_plans))
+        # compare frames for the packets both decoders accepted
+        j = 0
+        for i, pl in enumerate(plans):
+            if pl is None:
+                continue
+            np.testing.assert_array_equal(
+                fr_py["residue"][j], fr_nat["residue"][i], err_msg=f"pkt {i}")
+            j += 1
