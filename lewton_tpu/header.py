@@ -256,6 +256,15 @@ def read_codebook(cur: BitCursor) -> Codebook:
             lookup_values = lookup1_values(entries, dimensions)
         else:
             lookup_values = entries * dimensions
+        # Bound allocations by what the packet can back: each lookup value
+        # costs value_bits (>=1) bits. Without this a ~33-byte crafted setup
+        # packet (ordered lengths + lookup type 1) requests a multi-TB VQ
+        # expansion (entries<=2^24-1 x dims<=65535). Mirrors the native
+        # guard in native/lt_header.cc read_codebook.
+        if lookup_values * value_bits > cur.bits_remaining():
+            raise BadHeader("truncated codebook")
+        if entries * dimensions > (1 << 24):
+            raise BadHeader("codebook VQ table too large")
         mults = np.array(
             [cur.read_bits(value_bits) for _ in range(lookup_values)],
             dtype=np.float32,

@@ -291,6 +291,8 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         "f0_amp": np.zeros((T, C), np.float32),
     }
     for t, plan in enumerate(plans):
+        if plan is None:  # undecodable packet: invalid slot (device no-op)
+            continue
         fr["mode"][t] = plan.mode_number
         fr["prev_flag"][t] = plan.prev_window_flag
         fr["next_flag"][t] = plan.next_window_flag
@@ -550,6 +552,36 @@ class StreamDecoder:
             decode_packet_entropy(self.ident, self.setup, p) for p in packets
         ]
         return pack_frames(self.cs, plans, self.chunk)
+
+    def entropy_chunk_status(self, packets: list[bytes],
+                             out: dict | None = None):
+        """Like :meth:`entropy_chunk` but never raises on undecodable
+        packets: returns ``(frames, status)`` with per-slot status 0 ok /
+        1 header-packet / 2 bad. Bad slots stay ``valid=False`` (a device
+        no-op, window state untouched — per-packet reference semantics).
+        Serving-path variant: one hostile packet must not stall or crash
+        the whole batch."""
+        if self._native is not None:
+            return self._native.decode_chunk(packets, self.chunk, out=out)
+        from ..errors import AudioIsHeader, VorbisError
+
+        plans: list = []
+        status = np.zeros(self.chunk, np.uint8)
+        for t, p in enumerate(packets):
+            try:
+                plans.append(decode_packet_entropy(self.ident, self.setup, p))
+            except AudioIsHeader:
+                plans.append(None)
+                status[t] = 1
+            except VorbisError:
+                plans.append(None)
+                status[t] = 2
+        fr = pack_frames(self.cs, plans, self.chunk)
+        if out is not None:
+            for k in out:
+                out[k][...] = fr[k]
+            fr = out
+        return fr, status
 
     def entropy_chunk_batch(self, streams: list[list[bytes]],
                             threads: int = 8) -> dict:

@@ -357,6 +357,10 @@ def demux(data: bytes) -> list[NativePacket]:
         raise RuntimeError("liblewton_host.so not built")
     src = np.frombuffer(data, dtype=np.uint8)
     h = lib.lt_ogg_new(_u8(src), len(data))
+    if not h:
+        from ..errors import OggError
+
+        raise OggError("native ogg demux failed (allocation)")
     try:
         count = lib.lt_ogg_packet_count(h)
         lens = np.zeros(count, np.uint64)

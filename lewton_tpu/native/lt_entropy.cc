@@ -419,7 +419,7 @@ extern "C" {
 
 Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
                       const uint8_t* setup_pck, size_t setup_len, char* err,
-                      size_t err_len) {
+                      size_t err_len) try {
   auto st = std::make_unique<Stream>();
   std::string e = lt::read_header_ident(ident_pck, ident_len, &st->ident);
   if (e.empty())
@@ -444,6 +444,14 @@ Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
   st->P = P;
   st->Omax = Omax;
   return st.release();
+} catch (const std::exception& ex) {
+  // C++ exceptions (e.g. bad_alloc on a hostile setup) must never cross the
+  // C ABI into ctypes — that aborts the whole process.
+  if (err && err_len) {
+    strncpy(err, ex.what(), err_len - 1);
+    err[err_len - 1] = 0;
+  }
+  return nullptr;
 }
 
 void lt_stream_free(Stream* st) { delete st; }
@@ -474,11 +482,15 @@ int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
   const size_t C = st->channels, P = st->P, Om = st->Omax;
   const size_t R = (size_t)rw;
   for (int t = 0; t < T; ++t) {
-    status[t] = (uint8_t)lt::decode_packet(
-        st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
-        residue + (size_t)t * C * R, f_kind + (size_t)t * C,
-        f1_ys + (size_t)t * C * P, f1_flags + (size_t)t * C * P,
-        f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C, (uint32_t)rw);
+    try {
+      status[t] = (uint8_t)lt::decode_packet(
+          st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
+          residue + (size_t)t * C * R, f_kind + (size_t)t * C,
+          f1_ys + (size_t)t * C * P, f1_flags + (size_t)t * C * P,
+          f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C, (uint32_t)rw);
+    } catch (const std::exception&) {
+      status[t] = lt::LT_BAD;  // never let C++ exceptions cross the C ABI
+    }
   }
   return T;
 }

@@ -128,6 +128,18 @@ static std::string read_codebook(BitCursor* cur, Codebook* cb) {
   uint64_t lookup_values = lookup_type == 1
                                ? lookup1_values(entries, dims)
                                : (uint64_t)entries * dims;
+  // Bound allocations by what the packet can actually back: every lookup
+  // value costs value_bits (>=1) bits, so a count beyond the remaining
+  // packet bits is necessarily truncated. Without this a 33-byte crafted
+  // setup packet (ordered lengths + lookup type 2) can request a ~4TB
+  // allocation (entries<=2^24-1 x dims<=65535) before any read fails.
+  if (lookup_values * value_bits > cur->bits_remaining())
+    return "truncated codebook";
+  // The expanded VQ table (entries x dims floats) has no packet backing for
+  // lookup type 1; cap it at a bound generously above any real stream's
+  // books (64MB) so malformed streams get a clean error, not bad_alloc.
+  if ((uint64_t)entries * dims > (1ull << 24))
+    return "codebook VQ table too large";
   std::vector<float> mults(lookup_values);
   for (uint64_t i = 0; i < lookup_values; ++i) {
     if (!cur->read(value_bits, &v)) return "truncated codebook";

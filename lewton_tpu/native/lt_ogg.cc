@@ -179,12 +179,14 @@ struct OggReader {
 
 extern "C" {
 
-lt::OggReader* lt_ogg_new(const uint8_t* data, size_t len) {
+lt::OggReader* lt_ogg_new(const uint8_t* data, size_t len) try {
   auto r = std::make_unique<lt::OggReader>();
   r->data = data;
   r->len = len;
   r->demux();
   return r.release();
+} catch (const std::exception&) {
+  return nullptr;  // never let C++ exceptions cross the C ABI into ctypes
 }
 
 void lt_ogg_free(lt::OggReader* r) { delete r; }

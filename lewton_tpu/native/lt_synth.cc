@@ -289,7 +289,7 @@ lt::Stream* lt_stream_new(const uint8_t*, size_t, const uint8_t*, size_t,
 
 Decoder* lt_decoder_new(const uint8_t* ident_pck, size_t ident_len,
                         const uint8_t* setup_pck, size_t setup_len, char* err,
-                        size_t err_len) {
+                        size_t err_len) try {
   lt::Stream* st = lt_stream_new(ident_pck, ident_len, setup_pck, setup_len,
                                  err, err_len);
   if (!st) return nullptr;
@@ -297,6 +297,12 @@ Decoder* lt_decoder_new(const uint8_t* ident_pck, size_t ident_len,
   dec->st = std::move(*st);
   delete st;
   return dec.release();
+} catch (const std::exception& ex) {
+  if (err && err_len) {
+    strncpy(err, ex.what(), err_len - 1);
+    err[err_len - 1] = 0;
+  }
+  return nullptr;
 }
 
 void lt_decoder_free(Decoder* d) { delete d; }
@@ -431,7 +437,7 @@ static int overlap_add_block(Decoder* d, const float* audio, uint8_t bf,
 // floats. Returns sample count per channel (>=0), or -1 (bad packet),
 // -2 (header packet).
 int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
-                      float* pcm_out) {
+                      float* pcm_out) try {
   const uint32_t C = d->st.channels, n1 = d->st.n1;
   d->audio.assign((size_t)C * n1, 0.0f);
   uint8_t bf = 0, pf = 0, nf = 0;
@@ -440,6 +446,8 @@ int lt_decoder_decode(Decoder* d, const uint8_t* pck, size_t len,
   if (status == lt::LT_IS_HEADER) return -2;
   if (status != lt::LT_OK) return -1;
   return overlap_add_block(d, d->audio.data(), bf, pf, nf, pcm_out);
+} catch (const std::exception&) {
+  return -1;  // never let C++ exceptions cross the C ABI
 }
 
 // ---- decode-state checkpoint (the reference's resumable state is exactly
@@ -491,9 +499,13 @@ void lt_decoder_decode_many(Decoder* d, const uint8_t* buf,
   std::vector<Geo> geo(n);
   auto worker = [&](int lo, int hi, Decoder* wd) {
     for (int i = lo; i < hi; ++i) {
-      geo[i].status = decode_packet_to_audio(
-          wd, buf + offs[i], lens[i], audio.data() + (size_t)i * C * n1,
-          &geo[i].bf, &geo[i].pf, &geo[i].nf);
+      try {
+        geo[i].status = decode_packet_to_audio(
+            wd, buf + offs[i], lens[i], audio.data() + (size_t)i * C * n1,
+            &geo[i].bf, &geo[i].pf, &geo[i].nf);
+      } catch (const std::exception&) {
+        geo[i].status = lt::LT_BAD;  // exceptions may not escape the thread
+      }
     }
   };
   while ((int)d->workers.size() < nthreads) {

@@ -7,8 +7,9 @@ at any time, each device step decodes up to `chunk` packets from every
 active stream of a setup group in one batched call, and PCM is polled per
 stream as it becomes available.
 
-Streams are grouped by their setup packet bytes (a shared `CompiledSetup`
-is what makes the batch a single compiled program); each group keeps
+Streams are grouped by their (ident, setup) header packet bytes (a shared
+`CompiledSetup` is what makes the batch a single compiled program); each
+group keeps
 fixed-capacity slot state (window carry per slot) so step shapes — and
 therefore compilations — are stable. Idle slots ride along as `valid=False`
 packets, which the pipeline treats as no-ops.
@@ -42,6 +43,10 @@ class _StreamState:
     out: list = field(default_factory=list)  # decoded np arrays [n, C] i16
     cur_absgp: int | None = 0
     done: bool = False
+    #: (absolute packet index, message) for undecodable packets — the
+    #: stream keeps going (bad packets emit no PCM and leave the window
+    #: state untouched, the reference's per-packet semantics)
+    errors: list = field(default_factory=list)
     reader: object = None  # IncrementalPacketReader for fed streams
     serial: int | None = None
 
@@ -104,15 +109,22 @@ class _Group:
             zero = self.sd.entropy_chunk([])
             fr = {k: np.zeros((S,) + v.shape, v.dtype)
                   for k, v in zero.items()}
+        statuses: dict[int, np.ndarray] = {}
         for slot, batch in batches.items():
             data = [p.data for p in batch]
-            if self.sd._native is not None:
-                view = {k: v[slot] for k, v in fr.items()}
-                self.sd._native.decode_chunk(data, T, out=view)
-            else:
-                sub = self.sd.entropy_chunk(data)
-                for k in fr:
-                    fr[k][slot] = sub[k]
+            view = {k: v[slot] for k, v in fr.items()}
+            _, status = self.sd.entropy_chunk_status(data, out=view)
+            status = status[: len(batch)]
+            if (status != 0).any():
+                # The device overlap-add treats invalid slots as a chunk
+                # SUFFIX (ops/windowing.py pwr shift); compact good frames
+                # to the front so a mid-chunk bad packet doesn't feed the
+                # next packet garbage carry.
+                good = np.flatnonzero(status == 0)
+                for k, v in fr.items():
+                    v[slot, : len(good)] = v[slot][good]
+                    v[slot, len(good):] = 0
+            statuses[slot] = status
         lens, self.started = predict_out_lens(self.cs, fr, self.started)
         cap = int(-(-(int(lens.sum(-1).max()) + self.cs.n1) // 8192) * 8192)
         frd = {k: jnp.asarray(v) for k, v in fr.items()}
@@ -122,9 +134,19 @@ class _Group:
         pcm = np.asarray(pcm)  # [S, cap, C] i16
         for slot, batch in batches.items():
             st = self.streams[slot]
+            status = statuses[slot]
             pos = 0
+            j = 0  # compacted frame position (valid frames only)
             for t, pck in enumerate(batch):
-                n = int(lens[slot, t])
+                if status[t] != 0:
+                    st.errors.append((
+                        st.fed + t,
+                        "header packet in audio stream" if status[t] == 1
+                        else "undecodable audio packet",
+                    ))
+                    continue  # no PCM; window state untouched
+                n = int(lens[slot, j])
+                j += 1
                 out = pcm[slot, pos : pos + n]
                 pos += n
                 out = self._apply_absgp(st, pck, out)
@@ -155,15 +177,18 @@ class StreamingScheduler:
     def __init__(self, capacity: int = 16, chunk: int = 16):
         self.capacity = capacity
         self.chunk = chunk
-        #: setup-bytes -> list of groups (a new group spins up — one more
-        #: compiled batch of the same program shape — when all are full)
-        self.groups: dict[bytes, list[_Group]] = {}
+        #: (ident-bytes, setup-bytes) -> list of groups (a new group spins
+        #: up — one more compiled batch of the same program shape — when all
+        #: are full). Keyed by BOTH header packets: byte-identical setups
+        #: with different ident headers (blocksizes/rate/channels) must not
+        #: share a compiled geometry.
+        self.groups: dict[tuple[bytes, bytes], list[_Group]] = {}
         self.streams: dict[object, tuple[_Group, _StreamState]] = {}
         #: streams still waiting for their three header packets
         self.pending: dict[object, list] = {}
 
     def _group_with_room(self, ident_pck: bytes, setup_pck: bytes) -> _Group:
-        lst = self.groups.setdefault(setup_pck, [])
+        lst = self.groups.setdefault((ident_pck, setup_pck), [])
         for grp in lst:
             if grp.free:
                 return grp
@@ -237,6 +262,15 @@ class StreamingScheduler:
         out = np.concatenate(st.out, axis=0)
         st.out.clear()
         return out
+
+    def stream_errors(self, sid) -> list:
+        """(packet index, message) for every undecodable packet so far.
+        Bad packets are skipped (no PCM, window state untouched); the
+        stream itself keeps decoding — per-packet reference semantics."""
+        if sid in self.pending:
+            return []
+        _, st = self.streams[sid]
+        return list(st.errors)
 
     def is_done(self, sid) -> bool:
         if sid in self.pending:

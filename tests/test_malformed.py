@@ -124,6 +124,56 @@ def test_native_asan_fuzz(corpus_dir):
     assert "without sanitizer findings" in r.stdout
 
 
+def test_vq_expansion_bomb_rejected():
+    """A ~35-byte crafted setup packet (ordered length list covering 65536
+    entries, dims=65535, lookup type 1) used to request a multi-GB VQ
+    expansion (entries x dims floats) with no packet backing. Both
+    front-ends must reject it with a clean BadHeader — in particular the
+    C++ side must not throw bad_alloc across the C ABI (that aborts the
+    whole process, taking a serving scheduler down with it)."""
+    from lewton_tpu.bitpack import ilog
+    from lewton_tpu.errors import BadHeader
+    from lewton_tpu.header import read_header_ident, read_header_setup
+    from lewton_tpu.utils.bitwriter import BitWriter
+
+    w = BitWriter().write_bytes(b"\x01vorbis")
+    w.write_bits(0, 32)  # version
+    w.write_bits(1, 8)  # channels
+    w.write_bits(44100, 32)
+    for _ in range(3):
+        w.write_bits(0, 32)  # bitrates
+    w.write_bits(7, 4)
+    w.write_bits(8, 4)
+    w.write_bits(1, 1)  # framing
+    ident = w.getvalue()
+
+    w = BitWriter().write_bytes(b"\x05vorbis")
+    w.write_bits(0, 8)  # one codebook
+    w.write_bits(0x564342, 24)  # sync
+    w.write_bits(65535, 16)  # dims
+    w.write_bits(1 << 16, 24)  # entries (all length 16 => Kraft sum = 1)
+    w.write_flag(True)  # ordered length list
+    w.write_bits(15, 5)  # initial length 16
+    w.write_bits(1 << 16, ilog(1 << 16))  # one run covers every entry
+    w.write_bits(1, 4)  # lookup type 1
+    w.write_bits(0, 32)  # minimum
+    w.write_bits(0, 32)  # delta
+    w.write_bits(0, 4)  # value_bits = 1
+    w.write_flag(False)  # sequence_p
+    w.write_bits(0, 1)  # the single lookup1 mult (lookup1_values == 1)
+    setup = w.getvalue()
+
+    ih = read_header_ident(ident)
+    with pytest.raises(BadHeader):
+        read_header_setup(setup, ih)
+
+    from lewton_tpu import native
+
+    if native.available():
+        with pytest.raises(BadHeader):
+            native.NativeStream(ident, setup)
+
+
 def test_random_packets_never_crash(corpus_dir):
     """Pure-random packet bytes against a real setup: both entropy
     front-ends must return cleanly (decode, unused floors, or VorbisError),

@@ -79,6 +79,115 @@ def test_scheduler_incremental_feed(corpus_dir):
     assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
+def _repage(data: bytes, ident: bytes | None = None,
+            inject_empty_at: int | None = None) -> bytes:
+    """Demux a valid stream and rebuild its pages (correct CRCs), optionally
+    swapping the ident packet and/or injecting an empty (undecodable)
+    audio packet at the given audio-packet index."""
+    from lewton_tpu.ogg import PacketReader
+    from tools.floor0_stream import ogg_page
+
+    r = PacketReader(data)
+    pcks = []
+    while (p := r.read_packet()) is not None:
+        pcks.append(p)
+    serial = pcks[0].stream_serial
+    headers = [p.data for p in pcks[:3]]
+    end_granule = pcks[-1].absgp_page  # original stream length (truncated)
+    if ident is not None:
+        headers[0] = ident
+    audio = [p.data for p in pcks[3:]]
+    if inject_empty_at is not None:
+        audio = (audio[:inject_empty_at] + [b""] + audio[inject_empty_at:])
+    # cumulative sample counts (mode+window flags only, no decode); empty
+    # packets contribute nothing, the first real packet primes the window
+    from lewton_tpu.audio import get_decoded_sample_count
+    from lewton_tpu.header import read_header_ident, read_header_setup
+
+    ih = read_header_ident(headers[0])
+    sh = read_header_setup(headers[2], ih)
+    cum, started, cums = 0, False, []
+    for p in audio:
+        if p:
+            if started:
+                cum += get_decoded_sample_count(ih, sh, p)
+            started = True
+        cums.append(cum)
+    pages = [ogg_page(serial, 0, 0, [headers[0]], bos=True),
+             ogg_page(serial, 1, 0, headers[1:3])]
+    per_page, seq = 6, 2
+    for i in range(0, len(audio), per_page):
+        chunk = audio[i : i + per_page]
+        eos = i + per_page >= len(audio)
+        gr = end_granule if eos else cums[i + len(chunk) - 1]
+        pages.append(ogg_page(serial, seq, gr, chunk, eos=eos))
+        seq += 1
+    return b"".join(pages)
+
+
+def test_scheduler_groups_keyed_by_ident_and_setup(corpus_dir):
+    """Byte-identical setup packets with DIFFERENT ident headers must not
+    share a group: the group's CompiledSetup bakes in the ident geometry
+    (blocksizes, rate, channels), so sharing would decode the second
+    stream with the wrong compiled setup."""
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    data = open(path, "rb").read()
+    a = _repage(data)
+    # Patch only the ident's sample-rate field (bytes 12..16): the setup
+    # packet stays byte-identical and PCM is unaffected (rate is playback
+    # metadata), isolating the group-keying behavior.
+    from lewton_tpu.ogg import PacketReader
+
+    ident = PacketReader(data).read_packet().data
+    b_ident = ident[:12] + (32000).to_bytes(4, "little") + ident[16:]
+    b = _repage(data, ident=b_ident)
+
+    sched = StreamingScheduler(capacity=2, chunk=8)
+    sched.add_stream("a", a)
+    sched.add_stream("b", b)
+    while sched.step():
+        pass
+    out_a, out_b = sched.poll("a"), sched.poll("b")
+    assert out_a.size and out_b.size
+    np.testing.assert_array_equal(out_a, out_b)
+    assert len(sched.groups) == 2, \
+        "distinct ident headers must get distinct groups"
+
+
+def test_scheduler_survives_undecodable_packet(corpus_dir):
+    """A hostile/corrupt packet in one stream must not crash the scheduler
+    or stall other streams: the packet is skipped, recorded in
+    stream_errors, and the stream's remaining audio still decodes."""
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    data = open(path, "rb").read()
+    from lewton_tpu.ogg import PacketReader
+
+    r = PacketReader(data)
+    n_audio = -3
+    while r.read_packet() is not None:
+        n_audio += 1
+    bad_at = n_audio // 2
+    corrupted = _repage(data, inject_empty_at=bad_at)
+
+    sched = StreamingScheduler(capacity=2, chunk=8)
+    sched.add_stream("ok", data)
+    sched.add_stream("bad", corrupted)
+    while sched.step():
+        pass
+    out_ok = sched.poll("ok")
+    out_bad = sched.poll("bad")
+    errs = sched.stream_errors("bad")
+    assert len(errs) == 1 and errs[0][0] == bad_at
+    assert sched.stream_errors("ok") == []
+    # the skipped packet contributes nothing; all other audio matches
+    # (device pipeline vs numpy reference: +/-1 LSB, as elsewhere)
+    want = OggStreamReader(path, backend="numpy").read_all_i16()
+    assert out_ok.shape == want.shape
+    assert np.abs(out_ok.astype(np.int32) - want.astype(np.int32)).max() <= 1
+    assert out_bad.shape == want.shape
+    np.testing.assert_array_equal(out_bad, out_ok)
+
+
 def test_scheduler_group_overflow_spawns_new_group(corpus_dir):
     """More streams than one group's capacity: a second group forms."""
     data = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
