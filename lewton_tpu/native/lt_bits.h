@@ -17,31 +17,27 @@ namespace lt {
 
 // End-of-packet is *data* in Vorbis (floors/residues stop cleanly), so the
 // cursor reports EOP via return codes, never exceptions.
+//
+// Implementation: 64-bit accumulator holding the next <=64 unread bits
+// LSb-first; reads/peeks/advances are O(1) shift+mask (no per-byte loop —
+// this cursor sits under every Huffman codeword of the entropy front-end).
 class BitCursor {
  public:
-  BitCursor(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+  BitCursor(const uint8_t* data, size_t len) : data_(data), len_(len) {
+    refill();
+  }
 
   // Read n<=32 bits LSb-first. Returns false on end-of-packet (cursor
   // position then undefined for further reads, matching the reference's
   // "EOP is terminal" use).
-  bool read(uint32_t n, uint32_t* out) {
-    uint64_t avail_bits = (uint64_t)(len_ - byte_) * 8 - bit_;
-    if (n > avail_bits) return false;
-    uint32_t v = 0;
-    uint32_t got = 0;
-    while (got < n) {
-      uint32_t take = 8 - bit_;
-      if (take > n - got) take = n - got;
-      uint32_t chunk = (uint32_t)(data_[byte_] >> bit_) & ((1u << take) - 1u);
-      v |= chunk << got;
-      got += take;
-      bit_ += take;
-      if (bit_ == 8) {
-        bit_ = 0;
-        ++byte_;
-      }
+  inline bool read(uint32_t n, uint32_t* out) {
+    if (n > nbits_) {
+      refill();
+      if (n > nbits_) return false;
     }
-    *out = v;
+    *out = (uint32_t)(acc_ & mask64(n));
+    acc_ >>= n;
+    nbits_ -= n;
     return true;
   }
 
@@ -72,42 +68,68 @@ class BitCursor {
     return true;
   }
 
-  // Peek up to n bits without consuming (zero-padded past EOP).
-  uint32_t peek(uint32_t n) const {
-    uint32_t v = 0;
-    size_t byte = byte_;
-    uint32_t bit = bit_;
-    uint32_t got = 0;
-    while (got < n && byte < len_) {
-      uint32_t take = 8 - bit;
-      if (take > n - got) take = n - got;
-      uint32_t chunk = (uint32_t)(data_[byte] >> bit) & ((1u << take) - 1u);
-      v |= chunk << got;
-      got += take;
-      bit += take;
-      if (bit == 8) {
-        bit = 0;
-        ++byte;
-      }
+  // Peek up to n<=32 bits without consuming (zero-padded past EOP: the
+  // accumulator holds zeros above nbits_).
+  inline uint32_t peek(uint32_t n) {
+    if (n > nbits_) refill();
+    return (uint32_t)(acc_ & mask64(n));
+  }
+
+  // Caller guarantees n <= bits_remaining() (decode() checks).
+  inline void advance(uint32_t n) {
+    if (n <= nbits_) {
+      acc_ >>= n;
+      nbits_ -= n;
+    } else {  // only reachable right at EOP with a short accumulator
+      uint32_t extra = n - nbits_;
+      acc_ = 0;
+      nbits_ = 0;
+      pos_ += extra >> 3;
+      refill();
+      acc_ >>= (extra & 7);
+      nbits_ -= (extra & 7);
     }
-    return v;
   }
 
-  void advance(uint32_t n) {
-    uint64_t pos = (uint64_t)byte_ * 8 + bit_ + n;
-    byte_ = (size_t)(pos >> 3);
-    bit_ = (uint32_t)(pos & 7);
+  inline uint64_t bits_remaining() const {
+    return (uint64_t)(len_ - pos_) * 8 + nbits_;
   }
 
-  uint64_t bits_remaining() const {
-    return (uint64_t)(len_ - byte_) * 8 - bit_;
+  // bits currently in the accumulator (lower bound on bits_remaining)
+  inline uint32_t navail() const { return nbits_; }
+
+  // advance n <= navail() bits
+  inline void advance_fast(uint32_t n) {
+    acc_ >>= n;
+    nbits_ -= n;
   }
 
  private:
+  static inline uint64_t mask64(uint32_t n) {
+    return n >= 64 ? ~0ull : ((1ull << n) - 1);
+  }
+
+  inline void refill() {
+    // bulk path: load 8 bytes at once when they fit
+    if (nbits_ == 0 && len_ - pos_ >= 8) {
+      uint64_t w;
+      memcpy(&w, data_ + pos_, 8);  // x86/TPU hosts are little-endian
+      acc_ = w;
+      nbits_ = 64;
+      pos_ += 8;
+      return;
+    }
+    while (nbits_ <= 56 && pos_ < len_) {
+      acc_ |= (uint64_t)data_[pos_++] << nbits_;
+      nbits_ += 8;
+    }
+  }
+
   const uint8_t* data_;
   size_t len_;
-  size_t byte_ = 0;
-  uint32_t bit_ = 0;
+  size_t pos_ = 0;     // next unread byte
+  uint64_t acc_ = 0;   // next nbits_ unread bits, LSb-first
+  uint32_t nbits_ = 0;
 };
 
 // Canonical Huffman decoder. Codewords are assigned in spec §3.2.1 order
@@ -127,7 +149,7 @@ class Huffman {
 
   // Decode one scalar; false on EOP or (impossible for valid trees)
   // unmatched prefix.
-  bool decode(BitCursor* cur, uint32_t* out) const {
+  inline bool decode(BitCursor* cur, uint32_t* out) const {
     if (single_entry_) {  // any 1-bit input decodes to the entry (ref quirk)
       uint32_t b;
       if (!cur->read(1, &b)) return false;
@@ -138,6 +160,13 @@ class Huffman {
     int32_t e = lut_[p];
     if (e >= 0) {
       uint32_t len = (uint32_t)(e & 31);
+      // common case: the accumulator holds the whole codeword (peek just
+      // refilled), so the EOP check is one register compare
+      if (len <= cur->navail()) {
+        cur->advance_fast(len);
+        *out = (uint32_t)(e >> 5);
+        return true;
+      }
       if (cur->bits_remaining() < len) return false;  // EOP mid-codeword
       cur->advance(len);
       *out = (uint32_t)(e >> 5);

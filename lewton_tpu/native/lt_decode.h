@@ -14,6 +14,18 @@ struct Stream {
 
 enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
 
+// Reusable per-call scratch: decode_packet is called ~1M times/s per core,
+// so its working vectors live across packets (assign() on a warm vector is
+// a memset, not an allocation). One scratch per thread; Stream stays
+// read-only during decode (thread-safe sharing).
+struct DecodeScratch {
+  std::vector<uint8_t> no_residue;        // [C]
+  std::vector<uint32_t> y, final_y;       // floor1 posts
+  std::vector<uint8_t> step2;
+  std::vector<float> inter;               // residue type-2 interleave
+  std::vector<uint32_t> cl;               // residue classifications
+};
+
 // Entropy half: one packet -> dense frame slices (see lt_entropy.cc).
 int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   int32_t* mode_out, uint8_t* prev_out, uint8_t* next_out,
@@ -21,6 +33,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   uint8_t* f_used,                    // [C]
                   int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted-x order
                   float* f0_cosc, float* f0_amp,      // [C, Omax], [C]
-                  uint32_t rw);  // residue row width (writes clamped)
+                  uint32_t rw,  // residue row width (writes clamped)
+                  DecodeScratch* scratch = nullptr);
 
 }  // namespace lt

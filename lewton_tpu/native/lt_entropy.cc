@@ -24,6 +24,30 @@ uint32_t ilog(uint64_t x) {
 
 constexpr int kFloor1Ranges[4] = {256, 128, 86, 64};
 
+// Sequential VQ accumulate (residue types 1/2 inner body): row[0..dim) +=
+// vec[0..dim). dim-specialized so the compiler emits straight-line SIMD for
+// the common small dims instead of a scalar trip-counted loop.
+inline void vq_add(float* __restrict row, const float* __restrict vec,
+                   uint32_t dim) {
+  switch (dim) {
+    case 8:
+      for (int d = 0; d < 8; ++d) row[d] += vec[d];
+      break;
+    case 4:
+      for (int d = 0; d < 4; ++d) row[d] += vec[d];
+      break;
+    case 2:
+      row[0] += vec[0];
+      row[1] += vec[1];
+      break;
+    case 1:
+      row[0] += vec[0];
+      break;
+    default:
+      for (uint32_t d = 0; d < dim; ++d) row[d] += vec[d];
+  }
+}
+
 // Integer line prediction with u32 wrap-on-negative (spec 9.2.6; the
 // reference computes in u32 space, lewton src/audio.rs:354-367).
 uint32_t render_point(uint32_t x0, uint32_t y0, uint32_t x1, uint32_t y1,
@@ -46,8 +70,11 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   uint8_t* f_kind,                    // [C]
                   int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
                   float* f0_cosc, float* f0_amp,      // [C,Omax],[C]
-                  uint32_t rw) {  // residue row width (<= n1/2); writes past
+                  uint32_t rw,    // residue row width (<= n1/2); writes past
                                   // it drop, bit consumption is unchanged
+                  DecodeScratch* scratch) {
+  DecodeScratch local;
+  DecodeScratch& sc = scratch ? *scratch : local;
   const uint32_t C = st->channels, P = st->P, Omax = st->Omax;
   memset(residue, 0, sizeof(float) * C * rw);
   memset(f_kind, 0, C);
@@ -76,7 +103,8 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
   *next_out = next_flag;
 
   // ---- floors (EOP => channel unused; bad data => whole packet bad) ----
-  std::vector<bool> no_residue(C, false);
+  sc.no_residue.assign(C, 0);
+  std::vector<uint8_t>& no_residue = sc.no_residue;
   for (uint32_t ch = 0; ch < C; ++ch) {
     const Floor& fl = st->setup.floors[mapping.submap_floor[mapping.mux[ch]]];
     if (fl.type == 0) {
@@ -144,7 +172,8 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       int rng = kFloor1Ranges[f.multiplier - 1];
       uint32_t b = ilog((uint32_t)rng - 1);
       size_t values = f.x_list.size();
-      std::vector<uint32_t> y(values, 0);
+      sc.y.assign(values, 0);
+      std::vector<uint32_t>& y = sc.y;
       bool eop = false;
       if (!cur.read(b, &y[0]) || !cur.read(b, &y[1])) {
         no_residue[ch] = true;
@@ -185,8 +214,10 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         continue;
       }
       // amplitude reconstruction (spec 7.2.4 part 1)
-      std::vector<uint32_t> final_y(values);
-      std::vector<uint8_t> step2(values, 0);
+      sc.final_y.resize(values);
+      sc.step2.assign(values, 0);
+      std::vector<uint32_t>& final_y = sc.final_y;
+      std::vector<uint8_t>& step2 = sc.step2;
       final_y[0] = y[0];
       final_y[1] = y[1];
       step2[0] = step2[1] = 1;
@@ -242,19 +273,20 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
 
   // ---- residues per submap ----
   size_t n_submaps = mapping.submap_floor.size();
-  std::vector<float> inter;  // type-2 interleave scratch
+  std::vector<float>& inter = sc.inter;  // type-2 interleave scratch
   for (size_t sm = 0; sm < n_submaps; ++sm) {
-    std::vector<uint32_t> chans;
+    uint32_t chans[256];  // channel count is 8 bits (header-validated)
+    uint32_t ch_cnt = 0;
     for (uint32_t j = 0; j < C; ++j)
-      if (mapping.mux[j] == sm) chans.push_back(j);
+      if (mapping.mux[j] == sm) chans[ch_cnt++] = j;
     const Residue& r = st->setup.residues[mapping.submap_residue[sm]];
-    uint32_t ch_cnt = (uint32_t)chans.size();
     if (ch_cnt == 0) continue;
 
     // channel vectors: pointers into the output residue slices
     if (r.residue_type == 2) {
       bool all_dnd = true;
-      for (uint32_t j : chans) all_dnd &= no_residue[j];
+      for (uint32_t k = 0; k < ch_cnt; ++k)
+        all_dnd &= (bool)no_residue[chans[k]];
       if (all_dnd) continue;
       uint32_t actual = n * ch_cnt / 2;
       inter.assign(actual, 0.0f);
@@ -274,7 +306,8 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         if (n_to_read) {
           if (cpc == 0) return LT_BAD;
           uint32_t partitions_to_read = n_to_read / r.partition_size;
-          std::vector<uint32_t> cl(partitions_to_read + cpc, 0);
+          sc.cl.assign(partitions_to_read + cpc, 0);
+          std::vector<uint32_t>& cl = sc.cl;
           bool eop = false;
           for (int pass = 0; pass < 8 && !eop; ++pass) {
             uint32_t pc = 0;
@@ -296,8 +329,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                 int16_t book_idx = r.books[cl[pc]][pass];
                 if (book_idx < 0) continue;
                 const Codebook& book = st->setup.codebooks[book_idx];
-                uint32_t dim = book.dimensions;
-                float* row = vecs[0];
+                const uint32_t dim = book.dimensions;
+                const float* __restrict vq = book.vq.data();
+                float* __restrict row = vecs[0];
                 uint32_t i = 0;
                 while (i < r.partition_size) {
                   uint32_t e;
@@ -306,8 +340,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     break;
                   }
                   if (actual_size - (offs + i) < dim) break;  // ref: clip stop
-                  const float* vec = book.vq.data() + (size_t)e * dim;
-                  for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
+                  vq_add(row + offs + i, vq + (size_t)e * dim, dim);
                   i += dim;
                 }
                 if (eop) break;
@@ -334,7 +367,8 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       if (n_to_read == 0) continue;
       if (cpc == 0) return LT_BAD;
       uint32_t partitions_to_read = n_to_read / r.partition_size;
-      std::vector<uint32_t> cl((partitions_to_read + cpc) * ch_cnt, 0);
+      sc.cl.assign((size_t)(partitions_to_read + cpc) * ch_cnt, 0);
+      std::vector<uint32_t>& cl = sc.cl;
       bool eop = false;
       for (int pass = 0; pass < 8 && !eop; ++pass) {
         uint32_t pc = 0;
@@ -381,6 +415,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   }
                 }
               } else {
+                const float* __restrict vq = book.vq.data();
                 uint32_t i = 0;
                 while (i < r.partition_size) {
                   uint32_t e;
@@ -389,10 +424,8 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     break;
                   }
                   if (actual_size - (offs + i) < dim) break;
-                  if (offs + i + dim <= rw) {
-                    const float* vec = book.vq.data() + (size_t)e * dim;
-                    for (uint32_t d = 0; d < dim; ++d) row[offs + i + d] += vec[d];
-                  }
+                  if (offs + i + dim <= rw)
+                    vq_add(row + offs + i, vq + (size_t)e * dim, dim);
                   i += dim;
                 }
               }
@@ -481,13 +514,15 @@ int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
                                // effective spectral extent, <= n1/2)
   const size_t C = st->channels, P = st->P, Om = st->Omax;
   const size_t R = (size_t)rw;
+  lt::DecodeScratch scratch;  // reused across the chunk's packets
   for (int t = 0; t < T; ++t) {
     try {
       status[t] = (uint8_t)lt::decode_packet(
           st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
           residue + (size_t)t * C * R, f_kind + (size_t)t * C,
           f1_ys + (size_t)t * C * P, f1_flags + (size_t)t * C * P,
-          f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C, (uint32_t)rw);
+          f0_cosc + (size_t)t * C * Om, f0_amp + (size_t)t * C, (uint32_t)rw,
+          &scratch);
     } catch (const std::exception&) {
       status[t] = lt::LT_BAD;  // never let C++ exceptions cross the C ABI
     }

@@ -164,6 +164,7 @@ struct Decoder {
   std::vector<uint8_t> f_used, f1_flags;
   std::vector<int32_t> f1_ys;
   ImdctScratch imdct_scratch;
+  DecodeScratch entropy_scratch;
   // lazily-built parallel workers for decode_many (own scratch + a copy of
   // the read-only setup tables)
   std::vector<std::unique_ptr<Decoder>> workers;
@@ -331,7 +332,7 @@ static int decode_packet_to_audio(Decoder* d, const uint8_t* pck, size_t len,
   int status = lt::decode_packet(
       &st, pck, len, &mode_num, &prevf, &nextf, d->residue.data(),
       d->f_used.data(), d->f1_ys.data(), d->f1_flags.data(),
-      d->f0_cosc.data(), d->f0_amp.data(), st.W);
+      d->f0_cosc.data(), d->f0_amp.data(), st.W, &d->entropy_scratch);
   if (status != lt::LT_OK) return status;
 
   const lt::Mode& mode = st.setup.modes[mode_num];
