@@ -79,8 +79,13 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
 
     Each shard multiplies its k-slice of the (replicated) matrices, then
     psum over `axis` rebuilds the full block. Exact same math, one
-    reduce-scatter-able collective.
+    reduce-scatter-able collective. Matmul precision follows the single
+    `ops.imdct.PRECISION` knob (the partial products are f32 accumulations
+    of the same terms, so the split does not loosen the error bound).
     """
+    from ..ops import imdct as _imdct_mod
+
+    prec = jax.lax.Precision(_imdct_mod.PRECISION)
     ti = jax.lax.axis_index(axis)
     n0, n1 = m0.shape[1], m1.shape[1]
     w = m1.shape[0]
@@ -88,7 +93,7 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
     sl = jax.lax.dynamic_slice_in_dim(spectra, ti * wk, wk, axis=2)
     m1k = jax.lax.dynamic_slice_in_dim(m1, ti * wk, wk, axis=0)
     long_out = jnp.einsum(
-        "tck,kn->tcn", sl, m1k, precision=jax.lax.Precision.HIGHEST,
+        "tck,kn->tcn", sl, m1k, precision=prec,
         preferred_element_type=jnp.float32,
     )
     if n0 != n1:
@@ -102,7 +107,7 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
             m0, jnp.minimum(ti * w0k, w0 - w0k), w0k, axis=0
         )
         short_out = jnp.einsum(
-            "tck,kn->tcn", s0, m0k, precision=jax.lax.Precision.HIGHEST,
+            "tck,kn->tcn", s0, m0k, precision=prec,
             preferred_element_type=jnp.float32,
         )
         short_out = jnp.where(ti * w0k <= w0 - w0k, short_out, 0.0)
@@ -195,7 +200,9 @@ def decode_chunk_sharded(mesh: Mesh, cs, fr, carry, with_i16: bool = False,
     fr leaves [S, T, ...] with S divisible by mesh dp size; setup tables are
     replicated. dp is embarrassingly parallel; tp adds the IMDCT psum.
     """
-    key = (mesh, with_i16, compact_cap)
+    from ..ops import imdct as _imdct_mod
+
+    key = (mesh, with_i16, compact_cap, _imdct_mod.PRECISION)
     if key not in _SHARDED_CACHE:
         _SHARDED_CACHE[key] = _make_sharded(mesh, with_i16, compact_cap)
     return _SHARDED_CACHE[key](cs, fr, carry)

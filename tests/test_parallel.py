@@ -52,6 +52,27 @@ def test_sharded_matches_unsharded(corpus_dir, dp, tp):
         np.testing.assert_allclose(x, y, atol=2e-6)
 
 
+@pytest.mark.parametrize("precision", ["high", "highest"])
+def test_tp_respects_precision_knob(corpus_dir, precision, monkeypatch):
+    """The tensor-parallel IMDCT must follow ops.imdct.PRECISION (it used to
+    hardcode HIGHEST) and stay exact vs the unsharded path at either setting.
+    CPU ignores bf16 passes, so this pins routing + math, not rounding."""
+    from lewton_tpu.ops import imdct as imdct_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(imdct_mod, "PRECISION", precision)
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    headers, pcks = _audio_packets(path)
+    plain = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    sharded = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                           mesh=make_mesh(4, 2))
+    a = plain.decode_streams([pcks] * 4)
+    b = sharded.decode_streams([pcks] * 4)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-6)
+
+
 def test_decode_streams_i16_matches_reference(corpus_dir):
     """Device-compacted i16 path must equal the per-packet reference i16."""
     path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
