@@ -92,6 +92,7 @@ class OggStreamReader:
         self.stream_serial = serial
         self.pwr = PreviousWindowRight()
         self._native_dec = None
+        self._jax_dec = None
         self._decode_started = False
         # Deliberate improvement over the reference: start granule tracking
         # at 0 so end-of-stream truncation works even when all audio sits on
@@ -140,15 +141,35 @@ class OggStreamReader:
 
                 self._native_dec = native.NativeDecoder(*self._raw_headers)
             return self._native_dec.decode(packet)
+        if self.backend == "jax":
+            # Per-packet device decode: a persistent 1-packet-chunk
+            # StreamDecoder carries window state across calls. Correct but
+            # dispatch-latency-bound — for throughput use read_all_* /
+            # BatchDecoder, which amortize over whole chunks.
+            if self._jax_dec is None:
+                from .models.decoder import StreamDecoder
+
+                self._jax_dec = StreamDecoder(
+                    self.ident_hdr, self.setup_hdr, chunk=1,
+                    raw_headers=self._raw_headers,
+                )
+            return self._jax_dec.decode_packets([packet])[0]
         return read_audio_packet_generic(
             self.ident_hdr, self.setup_hdr, packet, self.pwr, fmt="planar_f32"
         )
+
+    def _clear_backend_decoders(self) -> None:
+        """Drop per-setup decoder instances (chained-stream re-init)."""
+        self._native_dec = None
+        self._jax_dec = None
 
     def _reset_decode_state(self) -> None:
         """Reset the inter-packet window state (all backends)."""
         self.pwr = PreviousWindowRight()
         if self._native_dec is not None:
             self._native_dec.reset()
+        if self._jax_dec is not None:
+            self._jax_dec.reset()
         self._decode_started = False
 
     def read_next_audio_packet(self) -> Packet | None:
@@ -174,7 +195,7 @@ class OggStreamReader:
                 self.comment_hdr = comment
                 self._setup_hdr = None  # lazy parse (see setup_hdr property)
                 self._raw_headers = (pck.data, pck3.data)
-                self._native_dec = None  # new link, new setup tables
+                self._clear_backend_decoders()  # new link, new setup tables
                 self._reset_decode_state()
                 self.stream_serial = pck3.stream_serial
                 # granule positions restart at 0 in each chain link

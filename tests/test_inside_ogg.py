@@ -109,3 +109,36 @@ def test_save_restore_decode_state(corpus_dir):
         redo5 = [r2.read_dec_packet() for _ in range(5)]
         for a, b in zip(next5, redo5):
             np.testing.assert_array_equal(a, b, err_msg=backend)
+
+
+def test_per_packet_jax_backend_routes_to_device(corpus_dir):
+    """backend="jax" per-packet decode must run the device pipeline (it used
+    to silently fall back to numpy) and match the numpy reference."""
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    rj = OggStreamReader(path, backend="jax")
+    rn = OggStreamReader(path, backend="numpy")
+    n = 0
+    while (pj := rj.read_dec_packet()) is not None:
+        pn = rn.read_dec_packet()
+        assert pn is not None
+        assert pj.shape == pn.shape
+        if pj.size:
+            assert np.abs(pj.astype(np.int32) - pn.astype(np.int32)).max() <= 2
+        n += 1
+    assert rn.read_dec_packet() is None
+    assert n > 0
+    assert rj._jax_dec is not None  # the device decoder actually engaged
+
+
+def test_skip_samples_linear_jax_backend(corpus_dir):
+    """skip re-primes the persistent device carry correctly."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    golden = np.load(os.path.join(corpus_dir, "stereo_44k_q3.golden.npy"))
+    to_skip = 30000
+    r = OggStreamReader(path, backend="jax")
+    pck, leftover = r.skip_samples_linear(to_skip, fmt="planar_i16")
+    assert pck is not None
+    start = to_skip - leftover
+    want = golden[start : start + pck.shape[1]].T
+    d = np.abs(pck.astype(np.int32) - want.astype(np.int32))
+    assert d.max() <= 2
