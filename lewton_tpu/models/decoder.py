@@ -109,6 +109,10 @@ class CompiledSetup:
     #: coupling steps as a static tuple when identical across all modes
     #: (the common one-mapping case) — enables static-index coupling
     static_coupling: tuple | None
+    #: residues provably lie on the integer lattice within i16 range
+    #: (see residue_i16_bound) — front-ends then emit int16 residue frames
+    #: (exact, half the H2D payload) and the device casts back to f32
+    residue_i16: bool
     # stacked tables (leaves)
     mode_blockflag: jnp.ndarray  # i32 [M]
     f_is_floor1: jnp.ndarray  # bool [M, C]
@@ -136,7 +140,7 @@ class CompiledSetup:
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
         "has_floor0", "has_floor1", "w_eff", "db_c0", "db_c1",
-        "static_coupling",
+        "static_coupling", "residue_i16",
     )
 
     def tree_flatten(self):
@@ -147,6 +151,39 @@ class CompiledSetup:
     @classmethod
     def tree_unflatten(cls, static, leaves):
         return cls(*static, *leaves)
+
+
+def residue_i16_bound(setup: SetupHeader) -> float | None:
+    """Worst-case |residue value| if every codebook used by any residue is
+    integer-valued; None if any is fractional.
+
+    Each spectral slot receives at most one VQ accumulate per pass (8
+    passes, spec 8.6.2 / ref src/audio.rs:620-717), so
+    ``sum over passes of max |entry| over that pass's books`` bounds every
+    decodable packet of this setup — hostile streams included, since
+    packets can only reference setup codebooks. When the bound is < 32768
+    the i16 residue transport is exact.
+    """
+    worst = 0.0
+    for r in setup.residues:
+        if r is None:
+            continue
+        bound = 0.0
+        for p in range(8):
+            mx = 0.0
+            for cls_books in r.books:
+                b = cls_books[p]
+                if b is None or b < 0:
+                    continue
+                vq = setup.codebooks[b].vq
+                if vq is None or vq.size == 0:
+                    continue
+                if not np.array_equal(vq, np.trunc(vq)):
+                    return None  # fractional lattice: keep f32 transport
+                mx = max(mx, float(np.abs(vq).max()))
+            bound += mx
+        worst = max(worst, bound)
+    return worst
 
 
 def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
@@ -242,12 +279,15 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         for m in setup.modes
     }
     static_coupling = step_lists.pop() if len(step_lists) == 1 else None
+    i16_bound = residue_i16_bound(setup)
+    residue_i16 = i16_bound is not None and i16_bound < 32768
     dev = jnp.asarray
     return CompiledSetup(
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
         has_floor0=bool(f0s), has_floor1=bool(f1s), w_eff=w_eff,
         db_c0=db_c0, db_c1=db_c1, static_coupling=static_coupling,
+        residue_i16=residue_i16,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
         ),
@@ -283,7 +323,8 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         "prev_flag": np.zeros(T, bool),
         "next_flag": np.zeros(T, bool),
         "valid": np.zeros(T, bool),
-        "residue": np.zeros((T, C, W), np.float32),
+        "residue": np.zeros((T, C, W),
+                            np.int16 if cs.residue_i16 else np.float32),
         "f_used": np.zeros((T, C), bool),
         "f1_ys": np.zeros((T, C, P), np.int32),
         "f1_flags": np.zeros((T, C, P), bool),
@@ -344,6 +385,11 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.w_eff  # spectra are zero past the residue extent (see w_eff)
+    if fr["residue"].dtype != jnp.float32:
+        # i16 transport (see CompiledSetup.residue_i16): exact cast back;
+        # XLA fuses the convert into the first consuming pass
+        fr = dict(fr)
+        fr["residue"] = fr["residue"].astype(jnp.float32)
 
     taps = {}
 
@@ -532,6 +578,8 @@ class StreamDecoder:
             if native.available():
                 self._native = native.NativeStream(*raw_headers)
                 self._native.frame_width = self.cs.w_eff
+                if self.cs.residue_i16:
+                    self._native.residue_dtype = np.int16
             elif frontend == "native":
                 raise RuntimeError("native front-end requested but not built")
 
@@ -584,16 +632,26 @@ class StreamDecoder:
         return fr, status
 
     def entropy_chunk_batch(self, streams: list[list[bytes]],
-                            threads: int = 8) -> dict:
+                            threads: int | None = None,
+                            out: dict | None = None) -> dict:
         """Host half for one chunk of a stream batch: [S][<=T] packets ->
         dense frames with a leading stream axis, written in place (no
         per-stream stacking copy when the native front-end is available).
 
         Streams entropy-decode in parallel — the native call releases the
-        GIL, and Vorbis has no inter-packet entropy state."""
+        GIL, and Vorbis has no inter-packet entropy state. ``threads``
+        defaults to the machine's core count (threading on a 1-core host
+        only adds switching overhead). ``out`` reuses a frame-buffer dict
+        from a previous chunk (the [S, T, ...] allocations are the
+        dominant per-chunk host cost after the decode itself)."""
+        import os as _os
+
         S = len(streams)
+        if threads is None:
+            threads = min(8, _os.cpu_count() or 1)
         if self._native is not None:
-            fr = self._native.frame_buffers(self.chunk, lead=(S,))
+            fr = out if out is not None \
+                else self._native.frame_buffers(self.chunk, lead=(S,))
 
             def work(s):
                 view = {k: v[s] for k, v in fr.items()}
@@ -609,7 +667,12 @@ class StreamDecoder:
                     work(s)
             return fr
         frs = [self.entropy_chunk(pcks) for pcks in streams]
-        return {k: np.stack([f[k] for f in frs]) for k in frs[0]}
+        stacked = {k: np.stack([f[k] for f in frs]) for k in frs[0]}
+        if out is not None:
+            for k in out:
+                out[k][...] = stacked[k]
+            return out
+        return stacked
 
     def decode_packets(self, packets: list[bytes]) -> list[np.ndarray]:
         """Decode audio packets -> list of planar f32 [C, out_len] arrays

@@ -51,6 +51,12 @@ def _load():
         C.c_void_p, u8p, u64p, u64p, C.c_int,
         i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p, C.c_int,
     ]
+    i16p = C.POINTER(C.c_int16)
+    lib.lt_decode_chunk_i16.restype = C.c_int
+    lib.lt_decode_chunk_i16.argtypes = [
+        C.c_void_p, u8p, u64p, u64p, C.c_int,
+        i32p, u8p, u8p, u8p, i16p, u8p, i32p, u8p, f32p, f32p, C.c_int,
+    ]
     lib.lt_decoder_new.restype = C.c_void_p
     lib.lt_decoder_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
                                    C.c_char_p, C.c_size_t]
@@ -145,6 +151,20 @@ class NativeStream:
     def frame_width(self, value: int) -> None:
         self._frame_width = int(value)
 
+    #: residue frame dtype: float32 (default) or int16. Callers set int16
+    #: only when the setup passes the static integer-lattice check
+    #: (models.decoder.residue_i16_bound) — the emission is then exact and
+    #: the dominant frame tensor halves (H2D payload + host memory writes).
+    @property
+    def residue_dtype(self):
+        return getattr(self, "_residue_dtype", np.float32)
+
+    @residue_dtype.setter
+    def residue_dtype(self, value) -> None:
+        value = np.dtype(value)
+        assert value in (np.dtype(np.float32), np.dtype(np.int16))
+        self._residue_dtype = value.type
+
     def frame_buffers(self, T: int, lead: tuple = ()) -> dict:
         """Allocate frame arrays with shape [*lead, T, ...] (see
         models.decoder.pack_frames for the layout)."""
@@ -156,7 +176,7 @@ class NativeStream:
             "prev_flag": z(T, dt=bool),
             "next_flag": z(T, dt=bool),
             "valid": z(T, dt=bool),
-            "residue": z(T, Cn, W),
+            "residue": z(T, Cn, W, dt=self.residue_dtype),
             "f_used": z(T, Cn, dt=bool),
             "f1_ys": z(T, Cn, P, dt=np.int32),
             "f1_flags": z(T, Cn, P, dt=bool),
@@ -187,11 +207,17 @@ class NativeStream:
         # bool arrays are 1-byte in numpy; the C side writes 0/1 bytes, so
         # uint8 views alias them directly
         u8v = lambda a: a.view(np.uint8)  # noqa: E731
-        self._lib.lt_decode_chunk(
+        if fr["residue"].dtype == np.int16:
+            fn, rptr = self._lib.lt_decode_chunk_i16, _ptr(fr["residue"],
+                                                           C.c_int16)
+        else:
+            fn, rptr = self._lib.lt_decode_chunk, _ptr(fr["residue"],
+                                                       C.c_float)
+        fn(
             self._h, _u8(buf), _ptr(offs, C.c_uint64), _ptr(lens, C.c_uint64),
             n, _ptr(fr["mode"], C.c_int32), _u8(u8v(fr["prev_flag"])),
             _u8(u8v(fr["next_flag"])), _u8(status),
-            _ptr(fr["residue"], C.c_float), _u8(u8v(fr["f_used"])),
+            rptr, _u8(u8v(fr["f_used"])),
             _ptr(fr["f1_ys"], C.c_int32), _u8(u8v(fr["f1_flags"])),
             _ptr(fr["f0_cosc"], C.c_float), _ptr(fr["f0_amp"], C.c_float),
             int(fr["residue"].shape[-1]),

@@ -530,4 +530,44 @@ int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
   return T;
 }
 
+// i16 residue transport: identical decode, but residues are emitted as
+// int16. Callers enable this only when the setup's residue codebooks are
+// statically integer-valued with a worst-case |sum| < 32768 (see
+// models/decoder.residue_i16_bound) — the conversion is then exact, and the
+// frame tensor (the H2D payload and the front-end's dominant memory write)
+// halves. Decode accumulates into a hot f32 scratch row instead of the
+// cold multi-MB chunk buffer.
+int lt_decode_chunk_i16(Stream* st, const uint8_t* buf, const uint64_t* offs,
+                        const uint64_t* lens, int T, int32_t* mode,
+                        uint8_t* prevf, uint8_t* nextf, uint8_t* status,
+                        int16_t* residue, uint8_t* f_kind, int32_t* f1_ys,
+                        uint8_t* f1_flags, float* f0_cosc, float* f0_amp,
+                        int rw) {
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  lt::DecodeScratch scratch;
+  std::vector<float> row(C * R);
+  for (int t = 0; t < T; ++t) {
+    try {
+      status[t] = (uint8_t)lt::decode_packet(
+          st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
+          row.data(), f_kind + (size_t)t * C, f1_ys + (size_t)t * C * P,
+          f1_flags + (size_t)t * C * P, f0_cosc + (size_t)t * C * Om,
+          f0_amp + (size_t)t * C, (uint32_t)rw, &scratch);
+    } catch (const std::exception&) {
+      status[t] = lt::LT_BAD;
+    }
+    int16_t* __restrict dst = residue + (size_t)t * C * R;
+    const float* __restrict src = row.data();
+    for (size_t i = 0; i < C * R; ++i) {
+      // clamp before the cast: valid decodes are in range by the static
+      // bound; this only guards stale scratch on exception paths (UB-free)
+      float v = src[i];
+      v = v < -32768.0f ? -32768.0f : (v > 32767.0f ? 32767.0f : v);
+      dst[i] = (int16_t)v;
+    }
+  }
+  return T;
+}
+
 }  // extern "C"

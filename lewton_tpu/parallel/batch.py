@@ -171,6 +171,19 @@ def decode_chunk_batch_packed(cs, residue, bbuf, ibuf, fbuf, shapes, carry,
     return _batch_core(cs, fr, carry, False, compact_cap)
 
 
+def host_buffers_reusable() -> bool:
+    """Whether a host frame buffer may be rewritten once its device_put
+    result is ready.
+
+    The CPU backend zero-copies LARGE numpy arrays into jax.Arrays (no
+    copy at put time, the jax.Array aliases the host memory), so
+    block_until_ready on the put proves nothing about later compute reads
+    — rewriting the buffer races. Real devices (TPU) copy at put time;
+    there, put-ready implies the host buffer is free.
+    """
+    return jax.default_backend() != "cpu"
+
+
 _SHARDED_CACHE: dict = {}
 
 
@@ -267,6 +280,11 @@ class BatchDecoder:
         PCM is compacted and converted to i16 on device, so the device->host
         transfer is the exact audio payload (no padding) — ~100x less PCIe
         traffic than the f32 padded path.
+
+        The chunk loop is pipelined (SURVEY §7 step 6): each chunk's device
+        compute + D2H stream asynchronously while the host entropy-decodes
+        the next chunk, and frame buffers double-buffer so the [S, T, ...]
+        host allocations happen once, not per chunk.
         """
         from ..models.decoder import predict_out_lens
 
@@ -280,9 +298,25 @@ class BatchDecoder:
         )
         started = np.zeros(S, bool)
         chunks: list[tuple] = []  # (device pcm [S, cap, C], totals [S])
-        for t0 in range(0, max_t, self.chunk):
+        # Double-buffered host frame arrays: slot ci%2 may be rewritten only
+        # once chunk ci-2's H2D finished (block on its device arrays).
+        # Reuse is gated on host_buffers_reusable(): the CPU backend
+        # zero-copy-aliases large buffers, where reuse would race.
+        bufs: list = [None, None]
+        h2d_refs: list = [None, None]
+        use_native = self._sd._native is not None and host_buffers_reusable()
+        for ci, t0 in enumerate(range(0, max_t, self.chunk)):
+            buf = None
+            if use_native and self.mesh is None:
+                slot = ci % 2
+                if h2d_refs[slot] is not None:
+                    jax.block_until_ready(h2d_refs[slot])
+                if bufs[slot] is None:
+                    bufs[slot] = self._sd._native.frame_buffers(
+                        self.chunk, lead=(S,))
+                buf = bufs[slot]
             fr_np = self._sd.entropy_chunk_batch(
-                [pks[t0 : t0 + self.chunk] for pks in streams]
+                [pks[t0 : t0 + self.chunk] for pks in streams], out=buf
             )
             lens, started = predict_out_lens(self.cs, fr_np, started)
             totals = lens.sum(axis=-1)
@@ -296,19 +330,31 @@ class BatchDecoder:
                 )
             else:
                 residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
+                dev = (jnp.asarray(residue), jnp.asarray(bb),
+                       jnp.asarray(ib), jnp.asarray(fb))
+                if buf is not None:
+                    h2d_refs[ci % 2] = dev
                 (pcm, total, _), carry = decode_chunk_batch_packed(
-                    self.cs, jnp.asarray(residue), jnp.asarray(bb),
-                    jnp.asarray(ib), jnp.asarray(fb), shapes, carry, cap,
+                    self.cs, *dev, shapes, carry, cap,
                 )
-            # keep pcm on device: the D2H pull below then overlaps the next
-            # chunk's host entropy + device compute (JAX async dispatch)
+            # start the D2H stream now; it drains while the host entropy-
+            # decodes the next chunk (async dispatch does the same for the
+            # device compute)
+            try:
+                pcm.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — backend without async copy
+                pass
             chunks.append((pcm, totals))
-        outs: list[list[np.ndarray]] = [[] for _ in range(S)]
+        # exact-size outputs, filled with one copy pass per chunk
+        sums = np.zeros(S, np.int64)
+        for _, totals in chunks:
+            sums += totals
+        outs = [np.empty((int(sums[s]), C), np.int16) for s in range(S)]
+        offs = np.zeros(S, np.int64)
         for pcm, totals in chunks:
-            pcm = np.asarray(pcm)  # [S, cap, C] i16
+            a = np.asarray(pcm)  # [S, cap, C] i16 (already streamed to host)
             for s in range(S):
-                outs[s].append(pcm[s, : totals[s]])
-        return [
-            np.concatenate(o, axis=0) if o else np.zeros((0, C), np.int16)
-            for o in outs
-        ]
+                n = int(totals[s])
+                outs[s][int(offs[s]) : int(offs[s]) + n] = a[s, :n]
+            offs += totals
+        return outs

@@ -29,7 +29,7 @@ from .models.decoder import (
     predict_out_lens,
 )
 from .ops.windowing import init_window_carry
-from .parallel.batch import decode_chunk_batch
+from .parallel.batch import decode_chunk_batch_packed, pack_frame_buffers
 
 __all__ = ["StreamingScheduler"]
 
@@ -73,6 +73,11 @@ class _Group:
         self.started = np.zeros(capacity, bool)
         self.streams: dict[int, _StreamState] = {}  # slot -> state
         self.free = list(range(capacity))
+        #: persistent [S, T, ...] frame buffers (native front-end): the
+        #: shapes are fixed per group, so the host allocation happens once
+        self._fr: dict | None = None
+        #: dispatched-but-uncollected device steps: (device pcm, slice plan)
+        self._inflight: list[tuple] = []
 
     def add(self, st: _StreamState) -> None:
         st.slot = self.free.pop()
@@ -93,7 +98,23 @@ class _Group:
         return any(s.fed < len(s.packets) for s in self.streams.values())
 
     def step(self) -> None:
-        """Decode up to `chunk` pending packets from every stream."""
+        """Decode up to `chunk` pending packets from every stream
+        (synchronous: dispatch + collect)."""
+        self.step_dispatch()
+        self.collect(drain=True)
+
+    def step_dispatch(self) -> None:
+        """Host half of one device step: entropy-decode up to `chunk`
+        pending packets per stream, dispatch the device program and the
+        async D2H, and do ALL bookkeeping that doesn't need the PCM bytes
+        (status/errors, granule tracking, fed/done flags). The PCM slice
+        plan goes on the inflight queue for :meth:`collect`.
+
+        This split is the serving-side pipeline (SURVEY §7 step 6): while
+        the chip runs step k and its PCM streams back, the host entropy-
+        decodes step k+1 — wall time per step approaches
+        max(host, device+transfer) instead of their sum.
+        """
         if not self.pending():
             return
         S, T = self.capacity, self.chunk
@@ -103,9 +124,28 @@ class _Group:
             if batch:
                 batches[slot] = batch
         # host entropy into [S, T, ...] frames (idle slots stay zero/invalid)
-        fr = (self.sd._native.frame_buffers(T, lead=(S,))
-              if self.sd._native is not None else None)
-        if fr is None:
+        from .parallel.batch import host_buffers_reusable
+
+        if self.sd._native is not None:
+            if not host_buffers_reusable():
+                # CPU backend zero-copy-aliases large host buffers into
+                # jax.Arrays: rewriting a buffer a dispatched step still
+                # reads would race, so allocate fresh per step there
+                fr = self.sd._native.frame_buffers(T, lead=(S,))
+            else:
+                if self._fr is None:
+                    self._fr = self.sd._native.frame_buffers(T, lead=(S,))
+                # the previous step's H2D must finish before its host
+                # buffers are rewritten (put-ready == host buffer free on
+                # real devices)
+                for entry in self._inflight:
+                    jax.block_until_ready(entry[2])
+                fr = self._fr
+                # persistent buffer: stale frames from the previous step
+                # must not read as valid (untouched leaves are masked by
+                # this flag)
+                fr["valid"][...] = False
+        else:
             zero = self.sd.entropy_chunk([])
             fr = {k: np.zeros((S,) + v.shape, v.dtype)
                   for k, v in zero.items()}
@@ -127,11 +167,19 @@ class _Group:
             statuses[slot] = status
         lens, self.started = predict_out_lens(self.cs, fr, self.started)
         cap = int(-(-(int(lens.sum(-1).max()) + self.cs.n1) // 8192) * 8192)
-        frd = {k: jnp.asarray(v) for k, v in fr.items()}
-        (pcm, total, _), self.carry = decode_chunk_batch(
-            self.cs, frd, self.carry, compact_cap=cap
+        residue, bb, ib, fb, shapes = pack_frame_buffers(fr)
+        dev = (jnp.asarray(residue), jnp.asarray(bb), jnp.asarray(ib),
+               jnp.asarray(fb))
+        (pcm, total, _), self.carry = decode_chunk_batch_packed(
+            self.cs, *dev, shapes, self.carry, cap,
         )
-        pcm = np.asarray(pcm)  # [S, cap, C] i16
+        # start the D2H stream now; it drains while later steps dispatch
+        try:
+            pcm.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copy
+            pass
+        # bookkeeping + PCM slice plan (needs only lengths, not bytes)
+        plan: list[tuple] = []  # (stream, slot, pos, keep)
         for slot, batch in batches.items():
             st = self.streams[slot]
             status = statuses[slot]
@@ -147,28 +195,38 @@ class _Group:
                     continue  # no PCM; window state untouched
                 n = int(lens[slot, j])
                 j += 1
-                out = pcm[slot, pos : pos + n]
+                keep = self._apply_absgp(st, pck, n)
+                if keep:
+                    plan.append((st, slot, pos, keep))
                 pos += n
-                out = self._apply_absgp(st, pck, out)
-                if out.shape[0]:
-                    st.out.append(out)
             st.fed += len(batch)
             if st.fed >= len(st.packets) and st.packets and \
                     st.packets[-1].last_in_stream:
                 st.done = True
+        self._inflight.append((pcm, plan, dev))
+
+    def collect(self, drain: bool = False) -> None:
+        """Materialize dispatched PCM. Keeps the newest step in flight
+        (the pipeline depth) unless ``drain`` is set."""
+        while self._inflight and (drain or len(self._inflight) > 1):
+            pcm, plan, _ = self._inflight.pop(0)
+            pcm = np.asarray(pcm)  # [S, cap, C] i16
+            for st, slot, pos, keep in plan:
+                st.out.append(pcm[slot, pos : pos + keep])
 
     @staticmethod
-    def _apply_absgp(st: _StreamState, pck, out: np.ndarray) -> np.ndarray:
+    def _apply_absgp(st: _StreamState, pck, n: int) -> int:
         """End-of-stream truncation + granule bookkeeping (same rules as
-        OggStreamReader._apply_absgp, over [n, C] PCM)."""
+        OggStreamReader._apply_absgp). Takes the packet's decoded length,
+        returns how many samples to keep."""
+        keep = n
         if st.cur_absgp is not None and pck.last_in_stream:
-            target = max(0, (pck.absgp_page or 0) - st.cur_absgp)
-            out = out[:target]
+            keep = min(n, max(0, (pck.absgp_page or 0) - st.cur_absgp))
         if pck.last_in_page and pck.absgp_page is not None:
             st.cur_absgp = pck.absgp_page
         elif st.cur_absgp is not None:
-            st.cur_absgp += out.shape[0]
-        return out
+            st.cur_absgp += keep
+        return keep
 
 
 class StreamingScheduler:
@@ -246,11 +304,20 @@ class StreamingScheduler:
 
     def step(self) -> bool:
         """One device step over every group with pending work. Returns
-        whether any work remains."""
-        for lst in self.groups.values():
-            for grp in lst:
-                grp.step()
-        return any(g.pending() for lst in self.groups.values() for g in lst)
+        whether any work remains.
+
+        Pipelined: each group's newest dispatched step stays in flight
+        (device compute + D2H overlap the NEXT step's host entropy), so a
+        step's PCM becomes pollable after the following step() call — or
+        immediately once step() returns False (the final call drains).
+        """
+        groups = [g for lst in self.groups.values() for g in lst]
+        for grp in groups:
+            grp.step_dispatch()
+        more = any(g.pending() for g in groups)
+        for grp in groups:
+            grp.collect(drain=not more)
+        return more
 
     def poll(self, sid) -> np.ndarray:
         """Drain decoded PCM for a stream: interleaved i16 [n, C]."""

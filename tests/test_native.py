@@ -80,6 +80,8 @@ def test_entropy_parity(corpus_dir, name):
     assert ns.max_posts == cs.max_posts
     assert ns.f0_order_max == cs.f0_order_max
     ns.frame_width = cs.w_eff  # residue rows at the effective extent
+    if cs.residue_i16:
+        ns.residue_dtype = np.int16  # match the cs-driven transport dtype
 
     T = len(audio_pcks)
     fr_nat, status = ns.decode_chunk(audio_pcks)
