@@ -167,52 +167,75 @@ def floor1_decode(
 
 
 def render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
-    """Integer line prediction (spec 9.2.6). Matches the reference's u32
-    wrap-on-negative behavior by reducing mod 2**32."""
+    """Integer line prediction (spec 9.2.6), signed like libvorbis's
+    render_point (C ints; the reference wraps in u32 instead, which only
+    differs for out-of-range posts no encoder emits)."""
     dy = y1 - y0
     adx = x1 - x0
     ady = abs(dy)
     off = (ady * (x - x0)) // adx
-    return (y0 - off if dy < 0 else y0 + off) & 0xFFFFFFFF
+    return y0 - off if dy < 0 else y0 + off
 
 
 def floor1_amplitudes(y: list[int], fl: Floor1) -> tuple[np.ndarray, np.ndarray]:
-    """Amplitude reconstruction (spec 7.2.4 part 1).
+    """Amplitude reconstruction (spec 7.2.4 part 1), libvorbis-exact.
 
-    Returns (final_y clamped to [?, range-1] with u32 wrap semantics,
-    step2 flags). ref: lewton floor_one_curve_compute_amplitude.
+    Returns (per-post dB-table INDEX values — already multiplied by the
+    floor multiplier and clamped to [0, 255] — and "used" flags), both in
+    decode (x_list) order.
+
+    Semantics verified against libvorbis 1.3.7's floor1_inverse1/2 (by
+    disassembly; no two implementations agree in the escape corners):
+    - fit values evolve as SIGNED ints; render_point reads neighbors
+      masked ``& 0x7fff``
+    - a nonzero val stores ``(escape + predicted) & 0x7fff`` and clears
+      the neighbor flags (masking them in place)
+    - a zero val stores ``predicted | 0x8000``; at render time any post
+      with bits in 0xffff8000 (flagged OR negative) is skipped
+    - the render endpoints are ``clamp(fit * multiplier, 0, 255)`` — the
+      Bresenham line runs in clamped index space
+
+    The reference instead wraps negatives in u32 and clamps to range-1
+    (lewton src/audio.rs:392-436), which diverges from libvorbis on
+    escape-heavy posts no encoder emits (crafted coverage:
+    tests/test_crafted.py). We match libvorbis, the conformance oracle.
+    In-range streams — every encoder-emitted stream — decode identically
+    under both semantics.
     """
     rng = FLOOR1_RANGES[fl.multiplier - 1]
     values = len(fl.x_list)
-    final_y = [0] * values
-    step2 = [False] * values
-    final_y[0], final_y[1] = y[0], y[1]
-    step2[0] = step2[1] = True
+    fit = [0] * values
+    fit[0], fit[1] = y[0], y[1]
     x = fl.x_list
     for i in range(2, values):
         lo = int(fl.low_neighbors[i])
         hi = int(fl.high_neighbors[i])
-        predicted = render_point(x[lo], final_y[lo], x[hi], final_y[hi], x[i])
+        predicted = render_point(
+            x[lo], fit[lo] & 0x7FFF, x[hi], fit[hi] & 0x7FFF, x[i]
+        )
         val = y[i]
         highroom = rng - predicted
         lowroom = predicted
         room = 2 * min(highroom, lowroom)
-        if val > 0:
-            step2[lo] = step2[hi] = step2[i] = True
+        if val:
             if val >= room:
                 if highroom > lowroom:
-                    fy = predicted + val - lowroom
+                    v = val - lowroom
                 else:
-                    fy = predicted - val + highroom - 1
+                    v = -1 - (val - highroom)
             else:
-                # odd: predicted - (val+1)/2 ; even: predicted + val/2
-                fy = predicted + ((-val - 1) >> 1 if val % 2 == 1 else val >> 1)
+                v = -((val + 1) >> 1) if val & 1 else val >> 1
+            fit[i] = (v + predicted) & 0x7FFF
+            fit[lo] &= 0x7FFF
+            fit[hi] &= 0x7FFF
         else:
-            step2[i] = False
-            fy = predicted
-        final_y[i] = fy & 0xFFFFFFFF  # u32 wrap for negatives (ref quirk)
-    fy_arr = np.minimum(np.array(final_y, dtype=np.int64), rng - 1)
-    return fy_arr, np.array(step2, dtype=bool)
+            fit[i] = predicted | 0x8000
+    used = np.array([(f & ~0x7FFF) == 0 for f in fit], dtype=bool)
+    idx = np.minimum(
+        np.array([(f & 0x7FFF) for f in fit], dtype=np.int64) * fl.multiplier,
+        255,
+    )
+    return idx, used
 
 
 def _render_line(x0: int, y0: int, x1: int, y1: int, out: list[int]) -> None:
@@ -238,20 +261,24 @@ def _render_line(x0: int, y0: int, x1: int, y1: int, out: list[int]) -> None:
 def floor1_synthesis(
     final_y: np.ndarray, step2: np.ndarray, fl: Floor1, n2: int
 ) -> np.ndarray:
-    """Curve synthesis part 2 (spec 7.2.4): Bresenham lines between flagged
-    posts in sorted-x order, then the inverse-dB table gather."""
+    """Curve synthesis part 2 (spec 7.2.4): Bresenham lines between used
+    posts in sorted-x order, then the inverse-dB table gather.
+
+    ``final_y`` carries INDEX-SPACE values (already multiplied by the
+    floor multiplier and clamped to [0, 255] — see floor1_amplitudes), so
+    the line endpoints are the clamped indexes, exactly like libvorbis's
+    floor1_inverse2."""
     s = fl.sort_order
-    mult = fl.multiplier
     xs = fl.x_list
     out: list[int] = []
     hx = 0
     hy = 0
     lx = 0
-    ly = int(final_y[s[0]]) * mult
+    ly = int(final_y[s[0]])
     for i in range(1, len(xs)):
         si = s[i]
         if step2[si]:
-            hy = int(final_y[si]) * mult
+            hy = int(final_y[si])
             hx = xs[si]
             _render_line(lx, ly, hx, hy, out)
             lx, ly = hx, hy

@@ -117,7 +117,7 @@ class CompiledSetup:
     mode_blockflag: jnp.ndarray  # i32 [M]
     f_is_floor1: jnp.ndarray  # bool [M, C]
     f1_xs: jnp.ndarray  # i32 [M, C, P] sorted x positions (pad BIG_X)
-    f1_mult: jnp.ndarray  # i32 [M, C]
+    f1_mult: jnp.ndarray  # i32 [M, C] (all-ones: f1_ys are index-space)
     f0_order: jnp.ndarray  # i32 [M, C]
     f0_lfv_scale: jnp.ndarray  # f32 [M, C]
     f0_amp_offset: jnp.ndarray  # f32 [M, C]
@@ -238,7 +238,10 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
                 f_is_floor1[mi, c] = True
                 xs = np.asarray(fl.x_list, dtype=np.int32)[fl.sort_order]
                 f1_xs[mi, c, : len(xs)] = xs
-                f1_mult[mi, c] = fl.multiplier
+                # f1_mult stays 1: frames carry INDEX-SPACE post values
+                # (already *multiplier, clamped 0..255 — libvorbis's
+                # floor1_inverse2 endpoint semantics; floor.py
+                # floor1_amplitudes)
             else:
                 f0_order[mi, c] = fl.order
                 f0_lfv_scale[mi, c] = np.float32(fl.amplitude_offset) / np.float32(

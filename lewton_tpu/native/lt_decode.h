@@ -20,8 +20,8 @@ enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };
 // read-only during decode (thread-safe sharing).
 struct DecodeScratch {
   std::vector<uint8_t> no_residue;        // [C]
-  std::vector<uint32_t> y, final_y;       // floor1 posts
-  std::vector<uint8_t> step2;
+  std::vector<uint32_t> y;                // floor1 raw posts
+  std::vector<int32_t> fit;               // floor1 fit values (signed)
   std::vector<float> inter;               // residue type-2 interleave
   std::vector<uint32_t> cl;               // residue classifications
 };

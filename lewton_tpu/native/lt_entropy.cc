@@ -48,16 +48,16 @@ inline void vq_add(float* __restrict row, const float* __restrict vec,
   }
 }
 
-// Integer line prediction with u32 wrap-on-negative (spec 9.2.6; the
-// reference computes in u32 space, lewton src/audio.rs:354-367).
-uint32_t render_point(uint32_t x0, uint32_t y0, uint32_t x1, uint32_t y1,
-                      uint32_t x) {
-  int64_t dy = (int64_t)y1 - (int64_t)y0;
-  int64_t adx = (int64_t)x1 - (int64_t)x0;
-  int64_t ady = dy < 0 ? -dy : dy;
-  int64_t off = (ady * (int64_t)(x - x0)) / adx;
-  int64_t r = dy < 0 ? (int64_t)y0 - off : (int64_t)y0 + off;
-  return (uint32_t)r;  // wraps like the reference's u32 arithmetic
+// Integer line prediction (spec 9.2.6), signed like libvorbis's
+// render_point (the reference wraps in u32 instead; the semantics only
+// differ for out-of-range posts no encoder emits).
+int32_t render_point(int32_t x0, int32_t y0, int32_t x1, int32_t y1,
+                     int32_t x) {
+  int32_t dy = y1 - y0;
+  int32_t adx = x1 - x0;
+  int32_t ady = dy < 0 ? -dy : dy;
+  int32_t off = (int32_t)(((int64_t)ady * (x - x0)) / adx);
+  return dy < 0 ? y0 - off : y0 + off;
 }
 
 }  // namespace
@@ -213,49 +213,51 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         no_residue[ch] = true;
         continue;
       }
-      // amplitude reconstruction (spec 7.2.4 part 1)
-      sc.final_y.resize(values);
-      sc.step2.assign(values, 0);
-      std::vector<uint32_t>& final_y = sc.final_y;
-      std::vector<uint8_t>& step2 = sc.step2;
-      final_y[0] = y[0];
-      final_y[1] = y[1];
-      step2[0] = step2[1] = 1;
+      // amplitude reconstruction (spec 7.2.4 part 1), libvorbis-exact
+      // (verified against libvorbis 1.3.7 floor1_inverse1 by disassembly;
+      // see lewton_tpu/floor.py floor1_amplitudes for the semantics —
+      // the reference's u32-wrap quirk diverges on escape-heavy posts):
+      // fit values evolve as signed ints, neighbors read masked &0x7fff,
+      // nonzero vals store (escape+predicted)&0x7fff and clear neighbor
+      // flags, zero vals store predicted|0x8000.
+      sc.fit.resize(values);
+      std::vector<int32_t>& fit = sc.fit;
+      fit[0] = (int32_t)y[0];
+      fit[1] = (int32_t)y[1];
       for (size_t i = 2; i < values; ++i) {
         size_t lo = f.low_neighbors[i], hi = f.high_neighbors[i];
-        uint32_t predicted =
-            render_point(f.x_list[lo], final_y[lo], f.x_list[hi], final_y[hi],
-                         f.x_list[i]);
-        uint32_t val = y[i];
-        int64_t highroom = rng - (int64_t)predicted;
-        int64_t lowroom = predicted;
-        int64_t room = 2 * (highroom < lowroom ? highroom : lowroom);
-        uint32_t fy;
-        if (val > 0) {
-          step2[lo] = step2[hi] = step2[i] = 1;
-          if ((int64_t)val >= room) {
-            if (highroom > lowroom)
-              fy = (uint32_t)(predicted + val - lowroom);
-            else
-              fy = (uint32_t)(predicted - val + highroom - 1);
+        int32_t predicted =
+            render_point((int32_t)f.x_list[lo], fit[lo] & 0x7fff,
+                         (int32_t)f.x_list[hi], fit[hi] & 0x7fff,
+                         (int32_t)f.x_list[i]);
+        int32_t val = (int32_t)y[i];
+        int32_t highroom = rng - predicted;
+        int32_t lowroom = predicted;
+        int32_t room = 2 * (highroom < lowroom ? highroom : lowroom);
+        if (val) {
+          int32_t v;
+          if (val >= room) {
+            v = highroom > lowroom ? val - lowroom : -1 - (val - highroom);
           } else {
-            fy = (val & 1) ? predicted - ((val + 1) >> 1)
-                           : predicted + (val >> 1);
+            v = (val & 1) ? -((val + 1) >> 1) : val >> 1;
           }
+          fit[i] = (v + predicted) & 0x7fff;
+          fit[lo] &= 0x7fff;
+          fit[hi] &= 0x7fff;
         } else {
-          step2[i] = 0;
-          fy = predicted;
+          fit[i] = predicted | 0x8000;
         }
-        final_y[i] = fy;  // u32 wrap like the reference
       }
-      // clamp + emit in sorted-x order for the device pipeline
+      // emit INDEX-SPACE values (fit*multiplier clamped to 0..255) in
+      // sorted-x order — libvorbis's floor1_inverse2 render endpoints
       int32_t* ys = f1_ys + (size_t)ch * P;
       uint8_t* fs = f1_flags + (size_t)ch * P;
       for (size_t i = 0; i < values; ++i) {
         uint16_t si = f.sort_order[i];
-        uint32_t fy = final_y[si];
-        ys[i] = (int32_t)(fy > (uint32_t)(rng - 1) ? (uint32_t)(rng - 1) : fy);
-        fs[i] = step2[si];
+        int32_t fv = fit[si];
+        int32_t idx = (fv & 0x7fff) * (int32_t)f.multiplier;
+        ys[i] = idx > 255 ? 255 : idx;
+        fs[i] = (fv & ~0x7fff) == 0;
       }
       f_kind[ch] = 1;
     }

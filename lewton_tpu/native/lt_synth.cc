@@ -221,14 +221,16 @@ void render_line(int32_t lx, int32_t ly, int32_t nx, int32_t ny, uint32_t n2,
 
 void floor1_curve(const Stream& st, const Floor1& f, const int32_t* ys,
                   const uint8_t* flags, uint32_t n2, float* out) {
-  // posts arrive in sorted-x order; lines run between flagged posts, with a
-  // horizontal tail to n2 (ref: lewton floor curve synthesis)
+  // posts arrive in sorted-x order carrying INDEX-SPACE values (already
+  // *multiplier, clamped 0..255 — see lt_entropy.cc emission); lines run
+  // between flagged posts with a horizontal tail to n2, libvorbis
+  // floor1_inverse2 semantics
   size_t P = f.x_list.size();
-  int32_t lx = 0, ly = ys[0] * f.multiplier;
+  int32_t lx = 0, ly = ys[0];
   for (size_t i = 1; i < P; ++i) {
     if (!flags[i]) continue;
     int32_t nx = (int32_t)f.x_list[f.sort_order[i]];
-    int32_t ny = ys[i] * f.multiplier;
+    int32_t ny = ys[i];
     render_line(lx, ly, nx, ny, n2, out);
     lx = nx;
     ly = ny;

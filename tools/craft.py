@@ -1,0 +1,436 @@
+"""Crafted conformance streams beyond any encoder's reach.
+
+The reference's conformance reputation rests on ~70 pinned real-world
+assets spanning Vorbis 1.0/beta/rc encoders (dev/cmp/src/lib.rs:238-674).
+With no network egress those files are unreachable, but most of the space
+they exercise is synthesizable: this module bit-crafts spec-valid streams
+that no modern encoder emits —
+
+- floor type 1 with adversarial post patterns (val >= room escapes, the
+  render_point u32 wrap, clamp-to-range), multiplier/rangebits variants
+- codebooks with ORDERED length lists, SPARSE entries, codewords far past
+  the native front-end's 10-bit primary LUT, and sequence_p VQ lookups
+- blocksize extremes 64 and 8192 (libvorbisenc only emits 256/2048-ish)
+- residue begin/end clamping against short windows
+
+Validation is the same oracle as everything else: libvorbisfile decodes
+the crafted bytes, all three backends must match within +/-2 i16 LSB
+(tests/test_crafted.py). Deterministic, no RNG state shared with callers.
+
+Packet/encode-side Huffman uses the SAME canonical assignment as the
+decoder (lewton_tpu.huffman.assign_codewords), so any length list that
+parses is also writable.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+from dataclasses import dataclass, field
+
+sys.path.insert(0, ".")
+
+from lewton_tpu.huffman import assign_codewords  # noqa: E402
+from lewton_tpu.utils.bitwriter import BitWriter  # noqa: E402
+from tools.floor0_stream import ogg_page  # noqa: E402
+
+
+def ilog(x: int) -> int:
+    r = 0
+    while x > 0:
+        r += 1
+        x >>= 1
+    return r
+
+
+def float_pack(v: float) -> int:
+    """Encode a value in the Vorbis float32 format:
+    value = (-1)^sign * mantissa * 2^(exponent - 788)."""
+    sign = 0
+    if v < 0:
+        sign = 1
+        v = -v
+    if v == 0:
+        return 0
+    exp = 788
+    # scale mantissa into [2^20, 2^21) while keeping it integral if possible
+    while v != int(v) and exp > 768:
+        v *= 2.0
+        exp -= 1
+    m = int(v)
+    while m >= (1 << 21):
+        m >>= 1
+        exp += 1
+    return (sign << 31) | (exp << 21) | m
+
+
+@dataclass
+class CB:
+    """Codebook spec for :func:`write_codebook`."""
+
+    dims: int
+    lengths: list  # per entry: int length, or None for sparse-unused
+    ordered: bool = False
+    lookup: int = 0
+    minimum: float = 0.0
+    delta: float = 0.0
+    value_bits: int = 0
+    sequence_p: bool = False
+    mults: list = field(default_factory=list)
+
+    def codes(self):
+        """Canonical (code, len) per entry, None for unused (encode side)."""
+        return assign_codewords(
+            [0 if l is None else l for l in self.lengths])
+
+
+def write_codebook(w: BitWriter, cb: CB) -> None:
+    entries = len(cb.lengths)
+    w.write_bits(0x564342, 24)
+    w.write_bits(cb.dims, 16)
+    w.write_bits(entries, 24)
+    w.write_flag(cb.ordered)
+    if cb.ordered:
+        # nondecreasing lengths, run-length coded (spec 3.2.1)
+        assert all(l is not None for l in cb.lengths)
+        assert list(cb.lengths) == sorted(cb.lengths)
+        w.write_bits(cb.lengths[0] - 1, 5)
+        cur_entry, cur_len = 0, cb.lengths[0]
+        while cur_entry < entries:
+            n = sum(1 for l in cb.lengths if l == cur_len)
+            w.write_bits(n, ilog(entries - cur_entry))
+            cur_entry += n
+            cur_len += 1
+    else:
+        sparse = any(l is None for l in cb.lengths)
+        w.write_flag(sparse)
+        for l in cb.lengths:
+            if sparse:
+                w.write_flag(l is not None)
+                if l is not None:
+                    w.write_bits(l - 1, 5)
+            else:
+                w.write_bits(l - 1, 5)
+    w.write_bits(cb.lookup, 4)
+    if cb.lookup:
+        w.write_bits(float_pack(cb.minimum), 32)
+        w.write_bits(float_pack(cb.delta), 32)
+        w.write_bits(cb.value_bits - 1, 4)
+        w.write_flag(cb.sequence_p)
+        if cb.lookup == 1:
+            n_vals = _lookup1_values(entries, cb.dims)
+        else:
+            n_vals = entries * cb.dims
+        assert len(cb.mults) == n_vals, (len(cb.mults), n_vals)
+        for m in cb.mults:
+            w.write_bits(m, cb.value_bits)
+
+
+def _lookup1_values(entries: int, dims: int) -> int:
+    r = int(entries ** (1.0 / dims))
+    while (r + 1) ** dims <= entries:
+        r += 1
+    while r**dims > entries:
+        r -= 1
+    return r
+
+
+# --------------------------------------------------------------------------- #
+# Floor1 stream builder
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class F1Spec:
+    """A small single-channel floor1 + residue stream, parametrized to reach
+    header/codebook shapes no encoder emits."""
+
+    rate: int = 8000
+    bs0_exp: int = 7
+    bs1_exp: int = 8
+    two_modes: bool = True  # short+long modes; False = one short mode
+    multiplier: int = 2  # 1..4
+    rangebits: int = 7
+    #: inner X positions (distinct, < 2^rangebits, exclude 0 and 2^rangebits)
+    xs: tuple = (16, 32, 48, 64, 80, 96)
+    #: subclass-book y entries (val range 0..n-1); 256 reaches val > range
+    y_entries: int = 256
+    #: residue VQ book: entries -> integer values (lookup 2, dims fixed 2)
+    res_book: str = "balanced"  # balanced | long | ordered | sparse | seq_p
+    residue_end: int = 64
+    partition_size: int = 16
+    #: subclass book slot 0 absent (book=-1 -> raw zero y) when True
+    absent_subclass_book: bool = False
+
+
+def _res_cb(spec: F1Spec) -> CB:
+    """The residue VQ codebook under test, per variant."""
+    if spec.res_book == "balanced":
+        return CB(2, [2] * 4, lookup=2, minimum=-1.0, delta=1.0,
+                  value_bits=2, mults=[(i * 3) % 3 for i in range(8)])
+    if spec.res_book == "long":
+        # lengths 1..15,16,16: complete Kraft; codewords up to 16 bits blow
+        # past the native 10-bit primary LUT on the hottest decode path
+        lens = list(range(1, 16)) + [16, 16]
+        return CB(2, lens, lookup=2, minimum=-2.0, delta=1.0, value_bits=2,
+                  mults=[(i * 5 + i // 3) % 4 for i in range(34)])
+    if spec.res_book == "ordered":
+        # ordered run-length header path; nondecreasing, complete
+        lens = [1, 2, 3, 4, 4]
+        return CB(2, lens, lookup=2, minimum=-1.0, delta=1.0, value_bits=2,
+                  mults=[(i * 2 + 1) % 3 for i in range(10)])
+    if spec.res_book == "sparse":
+        # 8 entries, 3 unused: sparse flagging + canonical assignment skips
+        lens = [2, None, 2, 3, None, 3, None, 2]
+        return CB(2, lens, lookup=2, minimum=-1.0, delta=1.0, value_bits=2,
+                  mults=[(i * 7) % 3 for i in range(16)])
+    if spec.res_book == "seq_p":
+        # sequence_p: VQ components accumulate across dims (spec 3.2.1
+        # "lookup1/2 with sequence flag"); dims 4 makes the accumulation long
+        return CB(4, [2] * 4, lookup=2, minimum=0.0, delta=1.0, value_bits=2,
+                  sequence_p=True,
+                  mults=[(i * 3 + 1) % 3 for i in range(16)])
+    raise ValueError(spec.res_book)
+
+
+def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
+    # --- ident ---
+    w = BitWriter().write_bytes(b"\x01vorbis")
+    w.write_bits(0, 32)
+    w.write_bits(1, 8)  # mono
+    w.write_bits(spec.rate, 32)
+    for _ in range(3):
+        w.write_bits(0, 32)
+    w.write_bits(spec.bs0_exp, 4)
+    w.write_bits(spec.bs1_exp, 4)
+    w.write_bits(1, 1)
+    ident = w.getvalue()
+
+    # --- comment ---
+    w = BitWriter().write_bytes(b"\x03vorbis")
+    w.write_bytes(struct.pack("<I", 0))
+    w.write_bytes(struct.pack("<I", 0))
+    w.write_bits(1, 1)
+    comment = w.getvalue()
+
+    # --- setup ---
+    # codebooks: 0 = floor1 masterbook (8 scalar entries, unbalanced),
+    # 1 = floor1 subclass y book, 2 = residue classbook, 3 = residue VQ
+    master = CB(1, [2, 2, 3, 3, 4, 4, 4, 4])
+    ybook = CB(1, [_ylen(spec.y_entries, i) for i in range(spec.y_entries)])
+    classbook = CB(2, [2] * 4)
+    resvq = _res_cb(spec)
+    w = BitWriter().write_bytes(b"\x05vorbis")
+    w.write_bits(4 - 1, 8)
+    for cb in (master, ybook, classbook, resvq):
+        write_codebook(w, cb)
+    w.write_bits(0, 6)  # time count - 1
+    w.write_bits(0, 16)  # time transform 0
+    w.write_bits(0, 6)  # floor count - 1
+    w.write_bits(1, 16)  # floor type 1
+    w.write_bits(2, 5)  # partitions
+    w.write_bits(0, 4)  # partition 0 class
+    w.write_bits(0, 4)  # partition 1 class
+    # class 0: dim 3, subclasses 1 (cbits=1) -> masterbook decodes cval<8
+    w.write_bits(3 - 1, 3)
+    w.write_bits(1, 2)
+    w.write_bits(0, 8)  # masterbook = codebook 0
+    # subclass books (2^1 = 2 entries, +1 encoding; 0 means absent)
+    w.write_bits(0 if spec.absent_subclass_book else 2, 8)  # slot 0
+    w.write_bits(2, 8)  # slot 1 -> codebook 1
+    w.write_bits(spec.multiplier - 1, 2)
+    w.write_bits(spec.rangebits, 4)
+    for x in spec.xs:
+        assert 0 < x < (1 << spec.rangebits)
+        w.write_bits(x, spec.rangebits)
+    # residue
+    w.write_bits(0, 6)  # residue count - 1
+    w.write_bits(1, 16)  # type 1
+    w.write_bits(0, 24)  # begin
+    w.write_bits(spec.residue_end, 24)
+    w.write_bits(spec.partition_size - 1, 24)
+    w.write_bits(2 - 1, 6)  # classifications
+    w.write_bits(2, 8)  # classbook = codebook 2
+    w.write_bits(0, 3)  # class 0 cascade: no books
+    w.write_flag(False)
+    w.write_bits(1, 3)  # class 1 cascade: pass-0 book
+    w.write_flag(False)
+    w.write_bits(3, 8)  # class 1 pass 0 -> codebook 3
+    # mapping
+    w.write_bits(0, 6)
+    w.write_bits(0, 16)
+    w.write_flag(False)  # 1 submap
+    w.write_flag(False)  # no coupling
+    w.write_bits(0, 2)
+    w.write_bits(0, 8)  # time
+    w.write_bits(0, 8)  # submap floor
+    w.write_bits(0, 8)  # submap residue
+    # modes
+    if spec.two_modes:
+        w.write_bits(1, 6)  # 2 modes
+        for bf in (0, 1):
+            w.write_bits(bf, 1)
+            w.write_bits(0, 16)
+            w.write_bits(0, 16)
+            w.write_bits(0, 8)
+    else:
+        w.write_bits(0, 6)  # 1 mode (short only; 0 mode-number bits!)
+        w.write_bits(0, 1)
+        w.write_bits(0, 16)
+        w.write_bits(0, 16)
+        w.write_bits(0, 8)
+    w.write_bits(1, 1)
+    return ident, comment, w.getvalue()
+
+
+def _ylen(n: int, i: int) -> int:
+    """Balanced lengths for the y book (n a power of two)."""
+    L = ilog(n - 1)
+    return L if (1 << L) == n else L + (0 if i < 2 * n - (1 << (L + 1)) else 0)
+
+
+def _write_code(w: BitWriter, cb: CB, entry: int) -> None:
+    code = cb.codes()[entry]
+    assert code is not None, f"entry {entry} unused"
+    w.write_huffman(*code)
+
+
+def _is_long(spec: F1Spec, seed: int) -> bool:
+    return spec.two_modes and (seed % 3) == 2
+
+
+def audio_packet(spec: F1Spec, seed: int, prev_long: bool,
+                 next_long: bool) -> bytes:
+    """One crafted packet. The post-value schedule sweeps benign, val>=room
+    escape, and full-range (val up to y_entries-1 > floor range) cases —
+    by seed, so a 40-packet stream covers them all."""
+    rng = (seed * 2654435761 + 12345) & 0xFFFFFFFF
+    master = CB(1, [2, 2, 3, 3, 4, 4, 4, 4])
+    ybook = CB(1, [_ylen(spec.y_entries, i) for i in range(spec.y_entries)])
+    classbook = CB(2, [2] * 4)
+    resvq = _res_cb(spec)
+
+    w = BitWriter()
+    w.write_bits(0, 1)
+    long_blk = _is_long(spec, seed)
+    if spec.two_modes:
+        w.write_bits(1 if long_blk else 0, 1)  # ilog(1) = 1 bit
+    # (single mode: zero mode bits)
+    if long_blk:
+        w.write_bits(1 if prev_long else 0, 1)
+        w.write_bits(1 if next_long else 0, 1)
+
+    # ---- floor1 ----
+    rng_max = [256, 128, 86, 64][spec.multiplier - 1]
+    b = ilog(rng_max - 1)
+    w.write_flag(True)  # nonzero
+    phase = seed % 4
+    if phase == 0:  # benign small posts
+        y0, y1 = 10 % rng_max, 30 % rng_max
+        vals = [(rng >> (3 * i)) % 8 for i in range(6)]
+    elif phase == 1:  # val >= room escapes (highroom/lowroom branches)
+        y0, y1 = 2, rng_max - 3
+        vals = [min(spec.y_entries - 1, rng_max - 1 - i) for i in range(6)]
+    elif phase == 2:  # full-range vals: val can exceed the floor range ->
+        # render_point against huge neighbors wraps in u32 and clamps
+        y0, y1 = 0, 1
+        vals = [(spec.y_entries - 1 - 7 * i) % spec.y_entries
+                for i in range(6)]
+    else:  # mixed
+        y0, y1 = (rng >> 5) % rng_max, (rng >> 11) % rng_max
+        vals = [(rng >> (2 * i + 1)) % spec.y_entries for i in range(6)]
+    w.write_bits(y0, b)
+    w.write_bits(y1, b)
+    vi = 0
+    for _part in range(2):  # partitions=2, class 0, cdim=3, cbits=1
+        cval = (rng >> (7 + _part * 3)) & 7
+        _write_code(w, master, cval)
+        for d in range(3):
+            bk = cval & 1
+            cval >>= 1
+            if bk == 0 and spec.absent_subclass_book:
+                vi += 1  # absent book: y decodes as 0, no bits
+                continue
+            book = ybook  # both subclass slots point at the y book
+            _write_code(w, book, vals[vi] % spec.y_entries)
+            vi += 1
+
+    # ---- residue (type 1, one channel) ----
+    n = (1 << spec.bs1_exp) if long_blk else (1 << spec.bs0_exp)
+    actual = n // 2
+    end = min(spec.residue_end, actual)
+    n_to_read = end  # begin = 0
+    parts = n_to_read // spec.partition_size
+    # classbook dims=2: one classword covers 2 partitions
+    usable = [i for i, c in enumerate(resvq.codes()) if c is not None]
+    vq_words = spec.partition_size // resvq.dims
+    ci = 0
+    while ci < parts:
+        cls = [(rng >> (ci + k)) & 1 for k in range(2)]
+        _write_code(w, classbook, cls[0] * 2 + cls[1])
+        for k in range(2):
+            if ci + k >= parts:
+                break
+            if cls[k] == 1:
+                for i in range(vq_words):
+                    # sweep the whole book incl. the deepest codewords
+                    e = usable[(rng >> (2 * i + ci)) % len(usable)] \
+                        if phase != 2 else usable[-1 - (i % 2)]
+                    _write_code(w, resvq, e)
+        ci += 2
+    return w.getvalue()
+
+
+def build_stream(spec: F1Spec | None = None, n_packets: int = 40,
+                 serial: int = 0xC4A57) -> bytes:
+    """Complete Ogg stream for the spec; granules are real decoded-sample
+    counts so libvorbisfile's length/truncation logic agrees."""
+    spec = spec or F1Spec()
+    ident, comment, setup = build_headers(spec)
+    from lewton_tpu.audio import get_decoded_sample_count
+    from lewton_tpu.header import read_header_ident, read_header_setup
+
+    ident_h = read_header_ident(ident)
+    setup_h = read_header_setup(setup, ident_h)
+    pcks = [
+        audio_packet(spec, i, i > 0 and _is_long(spec, i - 1),
+                     i + 1 < n_packets and _is_long(spec, i + 1))
+        for i in range(n_packets)
+    ]
+    pages = [ogg_page(serial, 0, 0, [ident], bos=True),
+             ogg_page(serial, 1, 0, [comment, setup])]
+    granule, seq, per_page = 0, 2, 8
+    for i in range(0, n_packets, per_page):
+        chunk = pcks[i : i + per_page]
+        for j in range(i, i + len(chunk)):
+            if j > 0:
+                granule += get_decoded_sample_count(ident_h, setup_h, pcks[j])
+        pages.append(ogg_page(serial, seq, granule, chunk,
+                              eos=(i + per_page >= n_packets)))
+        seq += 1
+    return b"".join(pages)
+
+
+VARIANTS = {
+    "f1_base": F1Spec(),
+    "f1_long_codewords": F1Spec(res_book="long"),
+    "f1_ordered_book": F1Spec(res_book="ordered"),
+    "f1_sparse_book": F1Spec(res_book="sparse"),
+    "f1_sequence_p": F1Spec(res_book="seq_p"),
+    "f1_absent_subclass": F1Spec(absent_subclass_book=True),
+    "f1_mult4_range64": F1Spec(multiplier=4, rangebits=6,
+                               xs=(8, 16, 24, 32, 40, 48)),
+    "f1_bs64": F1Spec(bs0_exp=6, bs1_exp=6, two_modes=False,
+                      residue_end=64),  # end > n/2: begin/end clamp
+    "f1_bs8192": F1Spec(bs0_exp=13, bs1_exp=13, two_modes=False,
+                        residue_end=512, partition_size=32),
+}
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp"
+    for name, spec in VARIANTS.items():
+        data = build_stream(spec)
+        with open(f"{out}/{name}.ogg", "wb") as f:
+            f.write(data)
+        print(f"wrote {out}/{name}.ogg ({len(data)} bytes)")
