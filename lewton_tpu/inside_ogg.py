@@ -249,6 +249,13 @@ class OggStreamReader:
             chunks.append(self.dec_packet_planar_f32(pck))
         if not chunks:
             return np.zeros((self.ident_hdr.channels, 0), np.float32)
+        # chained links may change the channel count; pad to the widest
+        # (same layout as the jax/native whole-stream paths)
+        ch = max(c.shape[0] for c in chunks)
+        chunks = [
+            c if c.shape[0] == ch else np.pad(c, [(0, ch - c.shape[0]), (0, 0)])
+            for c in chunks
+        ]
         return np.concatenate(chunks, axis=1)
 
     def _read_all_native(self) -> np.ndarray:
@@ -331,14 +338,9 @@ class OggStreamReader:
 
     def read_all_i16(self) -> np.ndarray:
         """Convenience: decode the whole stream to interleaved i16
-        [samples, channels] (constant channel count assumed)."""
-        if self.backend in ("jax", "native"):
-            return samples_mod.to_i16(self.read_all_planar_f32()).T
-        chunks = []
-        while (p := self.read_dec_packet_itl()) is not None:
-            chunks.append(p)
-        flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
-        return flat.reshape(-1, self.ident_hdr.channels)
+        [samples, channels]. Chained links that change the channel count
+        are padded to the widest link (planar layout rules)."""
+        return samples_mod.to_i16(self.read_all_planar_f32()).T
 
     # ------------------------------------------------------------------ #
 

@@ -434,3 +434,103 @@ if __name__ == "__main__":
         with open(f"{out}/{name}.ogg", "wb") as f:
             f.write(data)
         print(f"wrote {out}/{name}.ogg ({len(data)} bytes)")
+
+
+# --------------------------------------------------------------------------- #
+# Pathological Ogg lacing: continued packets, 255-multiples, zero-length
+# --------------------------------------------------------------------------- #
+
+
+def repage(data: bytes, max_segs: int = 4) -> bytes:
+    """Re-page a single-stream Ogg file with tiny pages so packets span
+    page boundaries (continued-packet flag, lacing 255 at page end) —
+    container geometry the `ogg` crate handles via its own paths
+    (reference depends on it; our two demuxers implement it from spec).
+
+    Packet bytes and end-granule semantics are preserved: a page where no
+    packet completes carries granule -1, like every real muxer.
+    """
+    from lewton_tpu.ogg import PacketReader
+
+    r = PacketReader(data)
+    pcks = []
+    while (p := r.read_packet()) is not None:
+        pcks.append(p)
+    serial = pcks[0].stream_serial
+    end_granule = pcks[-1].absgp_page
+
+    from lewton_tpu.audio import get_decoded_sample_count
+    from lewton_tpu.header import read_header_ident, read_header_setup
+
+    ih = read_header_ident(pcks[0].data)
+    sh = read_header_setup(pcks[2].data, ih)
+    grans = []  # cumulative decoded samples at each packet's END
+    cum = 0
+    for i, p in enumerate(pcks):
+        if i > 3:  # first audio packet primes the window
+            cum += get_decoded_sample_count(ih, sh, p.data)
+        grans.append(cum)
+    if end_granule is not None:
+        grans[-1] = end_granule  # preserve the original truncation point
+
+    pages = []
+    seq = 0
+
+    def emit(segs, body, gran, bos=False, eos=False, continued=False):
+        nonlocal seq
+        header_type = (1 if continued else 0) | (2 if bos else 0) | \
+            (4 if eos else 0)
+        g = -1 if gran is None else gran
+        header = struct.pack("<4sBBqIII", b"OggS", 0, header_type,
+                             g, serial, seq, 0)
+        header += bytes([len(segs)]) + bytes(segs)
+        from lewton_tpu.ogg.demux import crc32_ogg
+
+        crc = crc32_ogg(header + bytes(body))
+        pages.append(header[:22] + struct.pack("<I", crc) + header[26:]
+                     + bytes(body))
+        seq += 1
+
+    # header pages: ident alone (bos), then comment+setup
+    emit([len(pcks[0].data)] if len(pcks[0].data) < 255 else None,
+         pcks[0].data, 0, bos=True)
+    hdr2 = bytearray()
+    segs2 = []
+    for p in pcks[1:3]:
+        n = len(p.data)
+        while n >= 255:
+            segs2.append(255)
+            n -= 255
+        segs2.append(n)
+        hdr2 += p.data
+    emit(segs2, hdr2, 0)
+
+    segs: list[int] = []
+    body = bytearray()
+    #: whether the page currently being filled STARTED mid-packet
+    cur_continued = False
+    last_complete: int | None = None
+    audio = pcks[3:]
+    for pi, p in enumerate(audio):
+        n = len(p.data)
+        off = 0
+        lacing = []
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        for li, lv in enumerate(lacing):
+            if len(segs) == max_segs:
+                emit(segs, body, last_complete, continued=cur_continued)
+                segs, body = [], bytearray()
+                # the next page continues a packet iff bytes of the
+                # current packet were already emitted
+                cur_continued = off > 0 or li > 0
+                last_complete = None
+            segs.append(lv)
+            body += p.data[off : off + lv]
+            off += lv
+            if li == len(lacing) - 1:
+                last_complete = grans[3 + pi]
+    emit(segs, body, last_complete, eos=True, continued=cur_continued)
+    return b"".join(pages)
