@@ -301,7 +301,7 @@ class OggStreamReader:
         ]
         return np.concatenate(outs, axis=1)
 
-    def _read_all_jax(self) -> np.ndarray:
+    def _read_all_jax(self, i16: bool = False) -> np.ndarray:
         from .models.decoder import StreamDecoder
 
         outs: list[np.ndarray] = []
@@ -312,7 +312,9 @@ class OggStreamReader:
         def flush(d):
             if not buf:
                 return
-            for pck, pcm in zip(buf, d.decode_packets([p.data for p in buf])):
+            pcms = (d.decode_packets_i16([p.data for p in buf]) if i16
+                    else d.decode_packets([p.data for p in buf]))
+            for pck, pcm in zip(buf, pcms):
                 outs.append(self._apply_absgp(pck, pcm))
             buf.clear()
 
@@ -325,7 +327,8 @@ class OggStreamReader:
             buf.append(pck)
         flush(dec)
         if not outs:
-            return np.zeros((self.ident_hdr.channels, 0), np.float32)
+            return np.zeros((self.ident_hdr.channels, 0),
+                            np.int16 if i16 else np.float32)
         # channel count can change across chain links; pad like the planar
         # concat would fail otherwise (reference emits per-packet, we concat)
         ch = max(o.shape[0] for o in outs)
@@ -339,7 +342,13 @@ class OggStreamReader:
     def read_all_i16(self) -> np.ndarray:
         """Convenience: decode the whole stream to interleaved i16
         [samples, channels]. Chained links that change the channel count
-        are padded to the widest link (planar layout rules)."""
+        are padded to the widest link (planar layout rules).
+
+        With ``backend="jax"`` the i16 conversion happens on device in the
+        fused overlap+i16 pass (absgp truncation only drops samples, so
+        truncating the i16 rows is equivalent to truncating f32 first)."""
+        if self.backend == "jax":
+            return self._read_all_jax(i16=True).T
         return samples_mod.to_i16(self.read_all_planar_f32()).T
 
     # ------------------------------------------------------------------ #

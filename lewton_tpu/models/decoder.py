@@ -40,7 +40,9 @@ from ..ops.floor_curve import (
 
 from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import imdct_batch
-from ..ops.windowing import compact_i16, init_window_carry, overlap_add_batch
+from ..ops.windowing import (compact_i16, init_window_carry,
+                             overlap_add_batch, overlap_add_i16_batch,
+                             overlap_add_i16_kernel_batch)
 from ..tables import (
     bark_cos_omega,
     floor1_db_exp_constants,
@@ -476,6 +478,23 @@ def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
                   with_i16: bool = False, compact_cap: int | None = None):
     """Per-stream tail: overlap-add + output formatting (the only part
     that needs the stream axis under vmap)."""
+    if with_i16 and compact_cap is None:
+        # fused single-pass overlap-add + i16, bit-identical to the unfused
+        # path: Pallas kernel on TPU (XLA will not fuse the multi-offset
+        # packet-shifted reads, see ops/overlap_kernel.py), jnp elsewhere
+        from ..ops.overlap_kernel import pallas_overlap_supported
+
+        T = audio.shape[0]
+        if (jax.default_backend() == "tpu"
+                and pallas_overlap_supported(cs.n0, cs.n1, T)):
+            return overlap_add_i16_kernel_batch(
+                audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+                cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+            )
+        return overlap_add_i16_batch(
+            audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+            cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+        )
     (out, out_len), carry = overlap_add_batch(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
@@ -483,12 +502,6 @@ def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
     if compact_cap is not None:
         pcm, total = compact_i16(out, out_len, compact_cap)
         return (pcm, total, out_len), carry
-    if with_i16:
-        scaled = out * jnp.float32(32768.0)
-        clamped = jnp.clip(scaled, -32768.0, 32767.0)
-        # i16-only output: materializing the unused f32 buffer would cost
-        # a full extra HBM pass
-        return (jnp.trunc(clamped).astype(jnp.int16), out_len), carry
     return (out, out_len), carry
 
 
@@ -686,6 +699,22 @@ class StreamDecoder:
             fr = self.entropy_chunk(batch)
             fr = {k: jnp.asarray(v) for k, v in fr.items()}
             (out, out_len), self.carry = decode_frames(self.cs, fr, self.carry)
+            out = np.asarray(out)
+            out_len = np.asarray(out_len)
+            for t in range(len(batch)):
+                outs.append(out[t, :, : int(out_len[t])])
+        return outs
+
+    def decode_packets_i16(self, packets: list[bytes]) -> list[np.ndarray]:
+        """Like :meth:`decode_packets` but through the device i16 output
+        path (the fused overlap+i16 kernel on TPU): planar i16 [C, len]."""
+        outs: list[np.ndarray] = []
+        for i in range(0, len(packets), self.chunk):
+            batch = packets[i : i + self.chunk]
+            fr = self.entropy_chunk(batch)
+            fr = {k: jnp.asarray(v) for k, v in fr.items()}
+            (out, out_len), self.carry = decode_frames(
+                self.cs, fr, self.carry, with_i16=True)
             out = np.asarray(out)
             out_len = np.asarray(out_len)
             for t in range(len(batch)):

@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["overlap_add_batch", "init_window_carry", "compact_i16"]
+__all__ = ["overlap_add_batch", "overlap_add_i16_batch",
+           "overlap_add_i16_kernel_batch", "init_window_carry", "compact_i16"]
 
 
 def compact_i16(out: jnp.ndarray, out_len: jnp.ndarray, cap: int):
@@ -143,6 +144,175 @@ def overlap_add_batch(
     pwr_out = jnp.where(any_valid,
                         jax.lax.dynamic_index_in_dim(new_pwr, last, 0, False),
                         pwr0)
+    plen_out = jnp.where(any_valid, new_plen[last], plen0)
+    started_out = started0 | any_valid
+    return (out, out_len), (pwr_out, plen_out, started_out)
+
+
+def overlap_add_i16_kernel_batch(
+    audio, blockflag, prev_flag, next_flag, valid, slope0, slope1,
+    n0: int, n1: int, carry, interpret: bool = False,
+):
+    """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
+    bit-identical output — see ops/overlap_kernel.py). Same signature and
+    return convention."""
+    from .overlap_kernel import overlap_i16_pallas
+
+    T, C, _ = audio.shape
+    W = n1 // 2
+    pwr0, plen0, started0 = carry
+    long_blk = blockflag == 1
+
+    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
+                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+    sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)
+    plen_seq = jnp.concatenate([plen0[None], new_plen[:-1]])
+    sel_prev = jnp.concatenate([jnp.zeros((1,), sel.dtype), sel[:-1]])
+    before = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    started_seq = started0 | (before > 0)
+    use_s1 = long_blk & prev_flag
+    overlap_len = jnp.minimum(plen_seq, jnp.where(use_s1, W, n0 // 2))
+    right_start = jnp.where(long_blk & ~next_flag, (3 * n1 - n0) >> 2,
+                            jnp.where(long_blk, W, n0 >> 1))
+    left_start = jnp.where(long_blk & ~prev_flag, (n1 - n0) >> 2, 0)
+    out_len = jnp.where(valid & started_seq, right_start - left_start, 0)
+
+    f = lambda b: b.astype(jnp.float32)  # noqa: E731
+    scal = jnp.stack([
+        f(use_s1), f(plen_seq == W), f(long_blk & ~prev_flag),
+        f(sel_prev == 0), f(sel_prev == 1),
+        f(jnp.arange(T, dtype=jnp.int32) == 0),
+        overlap_len.astype(jnp.float32), out_len.astype(jnp.float32),
+    ], axis=1)  # [T, 8]
+    rev0 = jnp.concatenate([slope0[: n0 // 2][::-1],
+                            jnp.zeros(W - n0 // 2, slope0.dtype)])
+    slopes = jnp.stack([slope0, slope1, rev0, slope1[::-1]])  # [4, W]
+    out = overlap_i16_pallas(audio, scal, slopes, pwr0, n0, n1,
+                             interpret=interpret)
+
+    # carry out (tiny [C, W] slices of the last valid packet)
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    last = jnp.maximum(nvalid - 1, 0)
+    any_valid = nvalid > 0
+    a_last = jax.lax.dynamic_index_in_dim(audio, last, 0, False)
+    m_start = (3 * n1 - n0) // 4
+    pad_w = lambda x: jnp.pad(x, [(0, 0), (0, W - x.shape[1])])  # noqa: E731
+    sl = sel[last]
+    pwr_last = jnp.where(
+        sl == 0, a_last[:, W:],
+        jnp.where(sl == 1, pad_w(a_last[:, m_start : m_start + n0 // 2]),
+                  pad_w(a_last[:, n0 // 2 : n0])))
+    pwr_out = jnp.where(any_valid, pwr_last, pwr0)
+    plen_out = jnp.where(any_valid, new_plen[last], plen0)
+    started_out = started0 | any_valid
+    return (out, out_len), (pwr_out, plen_out, started_out)
+
+
+def overlap_add_i16_batch(
+    audio: jnp.ndarray,  # f32 [T, C, n1] IMDCT output (short blocks in [:n0])
+    blockflag: jnp.ndarray,  # i32 [T]
+    prev_flag: jnp.ndarray,  # bool [T]
+    next_flag: jnp.ndarray,  # bool [T]
+    valid: jnp.ndarray,  # bool [T]
+    slope0: jnp.ndarray,  # f32 [W]
+    slope1: jnp.ndarray,  # f32 [W]
+    n0: int,
+    n1: int,
+    carry,
+):
+    """Single-pass overlap-add + i16 conversion.
+
+    Same math as :func:`overlap_add_batch` followed by scale/clamp/trunc
+    (bit-identical per element: identical operand values and op order),
+    but restructured so the chunk is ONE fused output pass over
+    [T, C, 3n1/4]: packet t's previous-right-region operand is read
+    directly from ``audio[t-1]`` at one of three static column offsets
+    (selected per packet), instead of materializing the [T, C, W] pwr
+    tensor, its one-packet shift copy, per-(t, w) slope selects, and an
+    intermediate f32 output. Those five passes were ~40% of the measured
+    chunk time (HLO: ~1.9 GB of intermediates at S=256, T=128).
+
+    Returns ((out [T, C, 3n1/4] i16, out_len [T] i32), new_carry).
+    """
+    T, C, _ = audio.shape
+    W = n1 // 2
+    outw = 3 * n1 // 4
+    pwr0, plen0, started0 = carry
+    long_blk = blockflag == 1
+
+    # ---- per-packet scalars ----
+    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
+                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+    # right-region class: 0 = long&next [W, n1); 1 = long&!next centered
+    # short window [(3n1-n0)/4, ...); 2 = short [n0/2, n0)
+    sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)
+    plen_seq = jnp.concatenate([plen0[None], new_plen[:-1]])
+    sel_prev = jnp.concatenate([jnp.zeros((1,), sel.dtype), sel[:-1]])
+    before = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    started_seq = started0 | (before > 0)
+
+    use_s1 = (long_blk & prev_flag)[:, None, None]  # lhs slope select
+    use_r1 = (plen_seq == W)[:, None, None]  # rhs slope select
+    overlap_len = jnp.minimum(
+        plen_seq, jnp.where(long_blk & prev_flag, W, n0 // 2))
+
+    right_start = jnp.where(long_blk & ~next_flag, (3 * n1 - n0) >> 2,
+                            jnp.where(long_blk, W, n0 >> 1))
+    left_start = jnp.where(long_blk & ~prev_flag, (n1 - n0) >> 2, 0)
+    out_len = jnp.where(valid & started_seq, right_start - left_start, 0)
+
+    # ---- operand views (slices/pads of `audio`: fuse, never materialize) --
+    ls = (n1 - n0) // 4
+    a_cur0 = audio[:, :, :outw]
+    a_cur1 = audio[:, :, ls : ls + outw]
+    a_cur = jnp.where((long_blk & ~prev_flag)[:, None, None], a_cur1, a_cur0)
+
+    a_prev = jnp.pad(audio[:-1], [(1, 0), (0, 0), (0, 0)])  # a_prev[t]=audio[t-1]
+    cand_l = a_prev[:, :, W:]  # class 0, width W
+    m_start = (3 * n1 - n0) // 4
+    cand_m = jnp.pad(a_prev[:, :, m_start : m_start + n0 // 2],
+                     [(0, 0), (0, 0), (0, W - n0 // 2)])
+    cand_s = jnp.pad(a_prev[:, :, n0 // 2 : n0],
+                     [(0, 0), (0, 0), (0, W - n0 // 2)])
+    sp = sel_prev[:, None, None]
+    pwr = jnp.where(sp == 0, cand_l, jnp.where(sp == 1, cand_m, cand_s))
+    # first packet of the chunk overlaps the carried-in right region
+    t0 = (jnp.arange(T, dtype=jnp.int32) == 0)[:, None, None]
+    pwr = jnp.where(t0, pwr0[None], pwr)
+
+    lhs = jnp.where(use_s1, slope1[None, None, :], slope0[None, None, :])
+    rev0 = jnp.concatenate([slope0[: n0 // 2][::-1],
+                            jnp.zeros(W - n0 // 2, slope0.dtype)])
+    rhs = jnp.where(use_r1, slope1[None, None, ::-1], rev0[None, None, :])
+
+    # ---- the single output pass ----
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1, outw), 2)
+    in_ov = iota < overlap_len[:, None, None]
+    mixed = jnp.where(
+        in_ov,
+        a_cur[:, :, :W] * lhs + pwr * rhs
+        if outw == W else
+        jnp.pad(a_cur[:, :, :W] * lhs + pwr * rhs,
+                [(0, 0), (0, 0), (0, outw - W)]),
+        a_cur,
+    )
+    outf = jnp.where(iota < out_len[:, None, None], mixed, jnp.float32(0.0))
+    scaled = outf * jnp.float32(32768.0)
+    clamped = jnp.clip(scaled, -32768.0, 32767.0)
+    out = jnp.trunc(clamped).astype(jnp.int16)
+
+    # ---- carry out (tiny: [C, W] slices of the last valid packet) ----
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    last = jnp.maximum(nvalid - 1, 0)
+    any_valid = nvalid > 0
+    a_last = jax.lax.dynamic_index_in_dim(audio, last, 0, False)  # [C, n1]
+    pad_w = lambda x: jnp.pad(x, [(0, 0), (0, W - x.shape[1])])  # noqa: E731
+    sl = sel[last]
+    pwr_last = jnp.where(
+        sl == 0, a_last[:, W:],
+        jnp.where(sl == 1, pad_w(a_last[:, m_start : m_start + n0 // 2]),
+                  pad_w(a_last[:, n0 // 2 : n0])))
+    pwr_out = jnp.where(any_valid, pwr_last, pwr0)
     plen_out = jnp.where(any_valid, new_plen[last], plen0)
     started_out = started0 | any_valid
     return (out, out_len), (pwr_out, plen_out, started_out)

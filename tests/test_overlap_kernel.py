@@ -1,0 +1,137 @@
+"""Pallas overlap+i16 kernel vs the XLA reference paths.
+
+The kernel (ops/overlap_kernel.py) runs in interpret mode here (tests
+force the CPU platform); real-Mosaic conformance is gated on-chip by
+`python bench.py --check`, which decodes the corpus through this path.
+
+Tolerance note: the kernel and the XLA path may differ by 1 i16 LSB on
+samples whose f32 value sits exactly on an integer boundary (FMA vs
+separately-rounded multiply-add); the backend contract is +/-2 LSB vs
+libvorbis, not bitwise equality between backends.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lewton_tpu.ops.windowing import (overlap_add_batch,
+                                      overlap_add_i16_batch,
+                                      overlap_add_i16_kernel_batch)
+from lewton_tpu.tables import window_slope
+
+N0, N1 = 256, 2048
+C, W = 2, N1 // 2
+
+
+def _slopes():
+    s0 = np.concatenate(
+        [window_slope(N0 // 2), np.zeros(W - N0 // 2)]).astype(np.float32)
+    s1 = window_slope(W).astype(np.float32)
+    return jnp.asarray(s0), jnp.asarray(s1)
+
+
+def _rand_case(rng, T):
+    bf = rng.integers(0, 2, T).astype(np.int32)
+    pf = rng.integers(0, 2, T).astype(bool)
+    nf = rng.integers(0, 2, T).astype(bool)
+    valid = np.arange(T) < rng.integers(0, T + 1)
+    audio = (rng.standard_normal((T, C, N1)) * 0.5).astype(np.float32)
+    pwr0 = (rng.standard_normal((C, W)) * 0.5).astype(np.float32)
+    carry = (jnp.asarray(pwr0),
+             jnp.int32(rng.choice([0, N0 // 2, W])),
+             jnp.array(bool(rng.integers(0, 2))))
+    return (jnp.asarray(audio), jnp.asarray(bf), jnp.asarray(pf),
+            jnp.asarray(nf), jnp.asarray(valid)), carry
+
+
+def test_fused_i16_bit_identical_to_unfused():
+    """overlap_add_i16_batch == overlap_add_batch + scale/clamp/trunc,
+    bit for bit, including the carry."""
+    rng = np.random.default_rng(0)
+    s0, s1 = _slopes()
+    rfn = jax.jit(overlap_add_batch, static_argnums=(7, 8))
+    ffn = jax.jit(overlap_add_i16_batch, static_argnums=(7, 8))
+    for _ in range(10):
+        (a, bf, pf, nf, v), carry = _rand_case(rng, int(rng.integers(1, 20)))
+        (out_f, len_f), car_f = rfn(a, bf, pf, nf, v, s0, s1, N0, N1, carry)
+        ref = np.asarray(jnp.trunc(
+            jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
+        (out_i, len_i), car_i = ffn(a, bf, pf, nf, v, s0, s1, N0, N1, carry)
+        assert np.array_equal(ref, np.asarray(out_i))
+        assert np.array_equal(np.asarray(len_f), np.asarray(len_i))
+        for x, y in zip(car_f, car_i):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_kernel_interpret_matches():
+    """Kernel (interpret mode) within 1 LSB of the XLA path; identical
+    out_len and carry."""
+    rng = np.random.default_rng(1)
+    s0, s1 = _slopes()
+    rfn = jax.jit(overlap_add_batch, static_argnums=(7, 8))
+
+    def kf(a, bf, pf, nf, v, x0, x1, carry):
+        return overlap_add_i16_kernel_batch(
+            a, bf, pf, nf, v, x0, x1, N0, N1, carry, interpret=True)
+
+    kfn = jax.jit(kf)
+    for T in (1, 3, 16, 17, 33):
+        (a, bf, pf, nf, v), carry = _rand_case(rng, T)
+        (out_f, len_f), car_f = rfn(a, bf, pf, nf, v, s0, s1, N0, N1, carry)
+        ref = np.asarray(jnp.trunc(
+            jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
+        (out_k, len_k), car_k = kfn(a, bf, pf, nf, v, s0, s1, carry)
+        assert np.abs(ref.astype(np.int32)
+                      - np.asarray(out_k, np.int32)).max() <= 1
+        assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
+        for x, y in zip(car_f, car_k):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_kernel_vmapped():
+    """The kernel under vmap (as used by decode_chunk_batch)."""
+    rng = np.random.default_rng(2)
+    s0, s1 = _slopes()
+    S, T = 3, 32
+    a = jnp.asarray((rng.standard_normal((S, T, C, N1)) * 0.5)
+                    .astype(np.float32))
+    bf = jnp.asarray(rng.integers(0, 2, (S, T)).astype(np.int32))
+    pf = jnp.asarray(rng.integers(0, 2, (S, T)).astype(bool))
+    nf = jnp.asarray(rng.integers(0, 2, (S, T)).astype(bool))
+    v = jnp.ones((S, T), bool)
+    carry = (jnp.zeros((S, C, W), jnp.float32),
+             jnp.zeros((S,), jnp.int32), jnp.zeros((S,), bool))
+    vk = jax.jit(jax.vmap(
+        lambda a_, b_, p_, n_, v_, c_: overlap_add_i16_kernel_batch(
+            a_, b_, p_, n_, v_, s0, s1, N0, N1, c_, interpret=True),
+        in_axes=(0, 0, 0, 0, 0, 0)))
+    vr = jax.jit(jax.vmap(
+        lambda a_, b_, p_, n_, v_, c_: overlap_add_batch(
+            a_, b_, p_, n_, v_, s0, s1, N0, N1, c_),
+        in_axes=(0, 0, 0, 0, 0, 0)))
+    (out_f, len_f), _ = vr(a, bf, pf, nf, v, carry)
+    ref = np.asarray(jnp.trunc(
+        jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
+    (out_k, len_k), _ = vk(a, bf, pf, nf, v, carry)
+    assert np.abs(ref.astype(np.int32)
+                  - np.asarray(out_k, np.int32)).max() <= 1
+    assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
+
+
+def test_read_all_i16_jax_matches_f32_path(tmp_path):
+    """read_all_i16 (device i16 path) vs to_i16(read_all_planar_f32)."""
+    pytest.importorskip("lewton_tpu.native")
+    import tools.corpus as corpus
+
+    from lewton_tpu import samples as samples_mod
+    from lewton_tpu.inside_ogg import OggStreamReader
+
+    root = "tests/data/corpus"
+    corpus.ensure_corpus(root)
+    r1 = OggStreamReader(f"{root}/stereo_44k_q3.ogg", backend="jax")
+    a = r1.read_all_i16()
+    r2 = OggStreamReader(f"{root}/stereo_44k_q3.ogg", backend="jax")
+    b = samples_mod.to_i16(r2.read_all_planar_f32()).T
+    assert a.dtype == np.int16 and a.shape == b.shape
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
