@@ -39,7 +39,7 @@ from ..ops.floor_curve import (
 )
 
 from ..ops.synth_kernel import fused_floor_couple
-from ..ops.imdct import imdct_batch
+from ..ops.imdct import imdct_batch, imdct_batch_parts
 from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_batch, overlap_add_i16_batch,
                              overlap_add_i16_kernel_batch)
@@ -383,10 +383,9 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     return res.astype(table.dtype)
 
 
-def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
-                             allow_fused: bool = True):
-    """Stages 1-4 (coupling, floors, dot, IMDCT): per-packet, dependency
-    free. Returns (audio [N, C, n1], blockflag [N], taps)."""
+def _synthesize_spectra_tapped(cs, fr, allow_fused: bool = True):
+    """Stages 1-3 (coupling, floors, dot): per-packet, dependency free.
+    Returns (spectra [N, C, W_eff], blockflag [N], taps)."""
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.w_eff  # spectra are zero past the residue extent (see w_eff)
@@ -421,7 +420,6 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
         USE_FUSED_SYNTH_KERNEL and allow_fused
         and cs.has_floor1 and not cs.has_floor0
         and cs.static_coupling is not None
-        and imdct is imdct_batch  # tp-sharded path keeps the plain ops
         and jax.default_backend() == "tpu"
     )
     if fused:
@@ -433,8 +431,7 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
             jnp.stack(br, axis=1), fr["residue"][:, :, :W], fr["f_used"],
             cs.static_coupling, cs.db_c0, cs.db_c1,
         )
-        audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
-        return audio, bf, taps
+        return spectra, bf, taps
 
     is_f1 = cs.f_is_floor1[mode]  # [T, C]
     curve = jnp.zeros_like(residue)
@@ -457,6 +454,17 @@ def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
     # 3. spectra = floor x residue
     spectra = curve * residue
     taps["pre_mdct"] = spectra
+    return spectra, bf, taps
+
+
+def _synthesize_audio_tapped(cs, fr, imdct=imdct_batch,
+                             allow_fused: bool = True):
+    """Stages 1-4 (coupling, floors, dot, IMDCT): per-packet, dependency
+    free. Returns (audio [N, C, n1], blockflag [N], taps)."""
+    # the fused synth kernel path assumes the stock imdct (tp-sharded
+    # callers pass their own and keep the plain ops)
+    spectra, bf, taps = _synthesize_spectra_tapped(
+        cs, fr, allow_fused=allow_fused and imdct is imdct_batch)
 
     # 4. IMDCT on the MXU
     audio = imdct(spectra, bf, cs.imdct_m0, cs.imdct_m1)
@@ -481,16 +489,19 @@ def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
     if with_i16 and compact_cap is None:
         # fused single-pass overlap-add + i16, bit-identical to the unfused
         # path: Pallas kernel on TPU (XLA will not fuse the multi-offset
-        # packet-shifted reads, see ops/overlap_kernel.py), jnp elsewhere
+        # packet-shifted reads, see ops/overlap_kernel.py), jnp elsewhere.
+        # ``audio`` may be the (long, short) imdct_batch_parts tuple.
         from ..ops.overlap_kernel import pallas_overlap_supported
 
-        T = audio.shape[0]
+        T = bf.shape[0]
         if (jax.default_backend() == "tpu"
                 and pallas_overlap_supported(cs.n0, cs.n1, T)):
             return overlap_add_i16_kernel_batch(
                 audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
                 cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
             )
+        if isinstance(audio, tuple):
+            raise TypeError("imdct parts require the Pallas overlap path")
         return overlap_add_i16_batch(
             audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
             cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
@@ -515,6 +526,20 @@ def decode_frames_core(
     Returns ((out [T, C, 3n1/4] f32|i16, out_len [T] i32), new_carry);
     with compact_cap, ((pcm [cap, C] i16, total, out_len), new_carry).
     """
+    from ..ops.overlap_kernel import pallas_overlap_supported
+
+    T = fr["mode"].shape[0]
+    if (with_i16 and compact_cap is None and not with_taps
+            and imdct is imdct_batch
+            and jax.default_backend() == "tpu"
+            and pallas_overlap_supported(cs.n0, cs.n1, T)):
+        # i16 fast path: skip the long/short select in XLA — the Pallas
+        # overlap kernel selects in VMEM (see imdct_batch_parts)
+        spectra, bf, _ = _synthesize_spectra_tapped(cs, fr)
+        parts = imdct_batch_parts(spectra, cs.imdct_m0, cs.imdct_m1)
+        audio = parts if parts[1] is not None else parts[0]
+        return finish_stream(cs, audio, bf, fr, carry, True, None)
+
     audio, bf, taps = _synthesize_audio_tapped(
         cs, fr, imdct, allow_fused=not with_taps)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["imdct_batch"]
+__all__ = ["imdct_batch", "imdct_batch_parts"]
 
 
 #: matmul precision for the transform. On TPU: "high" = 3-pass bf16
@@ -29,6 +29,32 @@ __all__ = ["imdct_batch"]
 #: LSB — do not use). Re-verify with `python bench.py --check` on the real
 #: chip after changing; CPU tests cannot see bf16 effects.
 PRECISION = "high"
+
+
+def imdct_batch_parts(
+    spectra: jnp.ndarray,  # f32 [T, C, n1/2] (short packets use first n0/2)
+    m0: jnp.ndarray,
+    m1: jnp.ndarray,
+):
+    """Both blocksize transforms WITHOUT the per-packet select: returns
+    (long_out [T, C, n1], short_out [T, C, n0] or None when n0==n1).
+
+    The fused overlap kernel (ops/overlap_kernel.py) selects per packet
+    in VMEM; keeping the select out of XLA avoids a full [T, C, n1]
+    relayout pass between the GEMM and the Pallas custom-call."""
+    prec = jax.lax.Precision(PRECISION)
+    long_out = jnp.einsum(
+        "tck,kn->tcn", spectra, m1, precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    if m0.shape[1] == m1.shape[1]:
+        return long_out, None
+    short_out = jnp.einsum(
+        "tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return long_out, short_out
 
 
 def imdct_batch(

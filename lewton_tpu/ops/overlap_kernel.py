@@ -9,10 +9,19 @@ every such operand — at S=256/T=128 that is ~1.9 GB of HBM intermediates
 and ~40% of the measured chunk time (see PERF.md / CLAUDE.md bisection).
 
 Here the whole tail is one kernel: each grid step owns R packets of one
-stream, reads their IMDCT rows (plus the previous block's last row via a
-second, block-shifted view of the same array — no halo DMA), applies the
-window slopes from VMEM-resident vectors, and writes i16 directly.
-HBM traffic: 2x audio reads + 1x i16 write (~1.3 GB vs ~3.8 GB).
+(stream, channel), reads their IMDCT rows (plus the previous block's last
+row via a second, block-shifted view of the same array — no halo DMA),
+applies the window slopes from VMEM-resident vectors, and writes i16.
+
+Layout contract (the part that makes it fast): the long/short inputs are
+taken as [C, T, n] — a pure relabeling of the IMDCT GEMM's preferred
+{n-minor, T-second-minor} physical layout, so XLA's layout assignment can
+feed the custom call with a bitcast instead of a 537 MB relayout copy.
+The per-packet long/short blocksize select also happens here in VMEM (the
+GEMM outputs are passed unselected, see imdct_batch_parts): fusing that
+select into a custom-call operand is impossible for XLA. The i16 output
+is [T, C*outw] with channels on the lane axis (grid-blocked per channel),
+which reshapes to [T, C, outw] for free.
 
 Float semantics are bit-identical to ops/windowing.overlap_add_i16_batch
 (same operand values, same op order: a*lhs + pwr*rhs, x32768, clamp,
@@ -39,8 +48,12 @@ def pallas_overlap_supported(n0: int, n1: int, T: int) -> bool:
     return n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
 
 
-def _kernel(a_ref, b_ref, sc_ref, sl_ref, pwr0_ref, out_ref, *,
-            C, n0, n1, R):
+def _kernel(*refs, n0, n1, R, has_short):
+    if has_short:
+        (la_ref, lb_ref, sa_ref, sb_ref, sc_ref, sl_ref, pwr0_ref,
+         out_ref, pwr_out_ref) = refs
+    else:
+        la_ref, lb_ref, sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = refs
     W = n1 // 2
     outw = 3 * n1 // 4
     ls = (n1 - n0) // 4
@@ -56,6 +69,7 @@ def _kernel(a_ref, b_ref, sc_ref, sl_ref, pwr0_ref, out_ref, *,
     is_t0 = sc_ref[:, 5:6]
     ov_len = sc_ref[:, 6:7]
     out_len = sc_ref[:, 7:8]
+    bf = sc_ref[:, 8:9]
 
     slope0 = sl_ref[0:1, :]  # [1, W] (zero past n0/2)
     slope1 = sl_ref[1:2, :]
@@ -68,37 +82,82 @@ def _kernel(a_ref, b_ref, sc_ref, sl_ref, pwr0_ref, out_ref, *,
     iota_ow = jax.lax.broadcasted_iota(
         jnp.int32, (R, outw), 1).astype(jnp.float32)
 
-    for c in range(C):
-        row = a_ref[:, c, :]  # [R, n1]
-        # previous packet's row: last row of the block-shifted view for the
-        # first row in the block, in-block neighbor otherwise
-        prev = jnp.concatenate([b_ref[R - 1 : R, c, :], a_ref[: R - 1, c, :]],
-                               axis=0)
-        a_cur = jnp.where(ls_on > 0, row[:, ls : ls + outw], row[:, :outw])
+    def assemble(long_rows, short_rows, flag):
+        # per-packet blocksize select (short rows zero-extended to n1)
+        if short_rows is None:
+            return long_rows
+        srow = jnp.concatenate(
+            [short_rows, jnp.zeros((R, n1 - n0), jnp.float32)], axis=1)
+        return jnp.where(flag > 0, long_rows, srow)
 
-        cand_l = prev[:, W:]  # [R, W] long&next right region
-        cand_m = prev[:, m_start : m_start + sw]  # long&!next (short-in-long)
-        cand_s = prev[:, sw : 2 * sw]  # short
-        pwr_sm = jnp.where(pl_is_m > 0, cand_m, cand_s)  # [R, sw]
-        if sw < W:
-            pwr_sm = jnp.concatenate(
-                [pwr_sm, jnp.zeros((R, W - sw), jnp.float32)], axis=1)
-        pwr = jnp.where(pl_is_l > 0, cand_l, pwr_sm)
-        pwr = jnp.where(is_t0 > 0, pwr0_ref[c, :][None, :], pwr)
+    bf_prev = sc_ref[:, 12:13]  # globally shifted OUTSIDE the kernel: an
+    # in-block roll of bf would read this block's last row at a block
+    # boundary instead of the previous block's
+    row = assemble(la_ref[0], sa_ref[0] if has_short else None, bf)
+    # previous packet's row: last row of the block-shifted view for the
+    # first row in the block, in-block neighbor otherwise
+    prev_a = jnp.concatenate(
+        [lb_ref[0, R - 1 : R, :], la_ref[0, : R - 1, :]], axis=0)
+    prev_s = (jnp.concatenate(
+        [sb_ref[0, R - 1 : R, :], sa_ref[0, : R - 1, :]], axis=0)
+        if has_short else None)
+    prev = assemble(prev_a, prev_s, bf_prev)
+    a_cur = jnp.where(ls_on > 0, row[:, ls : ls + outw], row[:, :outw])
 
-        mix = jnp.where(iota_w < ov_len,
-                        a_cur[:, :W] * lhs + pwr * rhs, a_cur[:, :W])
-        full = jnp.concatenate([mix, a_cur[:, W:]], axis=1)  # [R, outw]
-        outf = jnp.where(iota_ow < out_len, full, jnp.float32(0.0))
-        scaled = outf * jnp.float32(32768.0)
-        clamped = jnp.clip(scaled, -32768.0, 32767.0)
-        out_ref[:, c * outw : (c + 1) * outw] = jnp.trunc(clamped).astype(
-            jnp.int16)
+    cand_l = prev[:, W:]  # [R, W] long&next right region
+    cand_m = prev[:, m_start : m_start + sw]  # long&!next short-in-long
+    cand_s = prev[:, sw : 2 * sw]  # short
+    pwr_sm = jnp.where(pl_is_m > 0, cand_m, cand_s)  # [R, sw]
+    if sw < W:
+        pwr_sm = jnp.concatenate(
+            [pwr_sm, jnp.zeros((R, W - sw), jnp.float32)], axis=1)
+    pwr = jnp.where(pl_is_l > 0, cand_l, pwr_sm)
+    pwr = jnp.where(is_t0 > 0, pwr0_ref[0], pwr)
+
+    mix = jnp.where(iota_w < ov_len,
+                    a_cur[:, :W] * lhs + pwr * rhs, a_cur[:, :W])
+    full = jnp.concatenate([mix, a_cur[:, W:]], axis=1)  # [R, outw]
+    outf = jnp.where(iota_ow < out_len, full, jnp.float32(0.0))
+    scaled = outf * jnp.float32(32768.0)
+    clamped = jnp.clip(scaled, -32768.0, 32767.0)
+    out_ref[:, :] = jnp.trunc(clamped).astype(jnp.int16)
+
+    # ---- carry: right region of the chunk's last valid packet ----
+    # Computed here (revisited [1, 1, W] output block; TPU grid steps run
+    # sequentially) because a dynamic_index gather on the [T, C, n1] audio
+    # outside the kernel forces XLA to relayout the whole 537 MB tensor.
+    valid = sc_ref[:, 9:10]
+    cur_is_l = sc_ref[:, 10:11]
+    cur_is_m = sc_ref[:, 11:12]
+    rr_sm = jnp.where(cur_is_m > 0, row[:, m_start : m_start + sw],
+                      row[:, sw : 2 * sw])
+    if sw < W:
+        rr_sm = jnp.concatenate(
+            [rr_sm, jnp.zeros((R, W - sw), jnp.float32)], axis=1)
+    rr = jnp.where(cur_is_l > 0, row[:, W:], rr_sm)  # [R, W]
+
+    first_blk = sc_ref[0, 5] > 0  # row 0 of this block is global t == 0
+
+    @pl.when(first_blk)
+    def _():
+        pwr_out_ref[0, 0, :] = pwr0_ref[0, 0, :]
+
+    nblk_valid = jnp.sum(valid)
+
+    @pl.when(nblk_valid > 0)
+    def _():
+        kstar = nblk_valid - jnp.float32(1.0)  # valid rows are a prefix
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (R, 1), 0).astype(jnp.float32)
+        pick = jnp.where(iota_r == kstar, jnp.float32(1.0), jnp.float32(0.0))
+        pwr_out_ref[0, 0, :] = jnp.sum(rr * pick, axis=0)
 
 
 def overlap_i16_pallas(
-    audio: jnp.ndarray,  # f32 [T, C, n1] IMDCT output
-    scal: jnp.ndarray,  # f32 [T, 8] per-packet scalars (see _scalars)
+    long_audio: jnp.ndarray,  # f32 [T, C, n1] long-block IMDCT output
+    #   (or the pre-selected audio when `short_audio` is None)
+    short_audio: jnp.ndarray | None,  # f32 [T, C, n0] short-block output
+    scal: jnp.ndarray,  # f32 [T, 9] per-packet scalars (see windowing.py)
     slopes: jnp.ndarray,  # f32 [4, W] slope0 / slope1 / rev0 / rev1
     pwr0: jnp.ndarray,  # f32 [C, W] carried-in right region
     n0: int,
@@ -106,35 +165,61 @@ def overlap_i16_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns i16 [T, C, 3n1/4]."""
-    T, C, _ = audio.shape
+    T, C, _ = long_audio.shape
     outw = 3 * n1 // 4
     R = ROWS
     pad = (-T) % R
+    # [C, T, n]: relabels the GEMM's physical layout — a bitcast, not a copy
+    long_audio = jnp.transpose(long_audio, (1, 0, 2))
+    if short_audio is not None:
+        short_audio = jnp.transpose(short_audio, (1, 0, 2))
     if pad:
-        audio = jnp.pad(audio, [(0, pad), (0, 0), (0, 0)])
+        long_audio = jnp.pad(long_audio, [(0, 0), (0, pad), (0, 0)])
+        if short_audio is not None:
+            short_audio = jnp.pad(short_audio, [(0, 0), (0, pad), (0, 0)])
         scal = jnp.pad(scal, [(0, pad), (0, 0)])  # out_len 0 => zero rows
     Tp = T + pad
-    grid = (Tp // R,)
-    kern = functools.partial(_kernel, C=C, n0=n0, n1=n1, R=R)
-    out = pl.pallas_call(
+    has_short = short_audio is not None
+    kern = functools.partial(_kernel, n0=n0, n1=n1, R=R, has_short=has_short)
+    spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
+    spec_prev = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, R, w), lambda c, i: (c, jnp.maximum(i - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    in_specs = [spec_cur(n1), spec_prev(n1)]
+    args = [long_audio, long_audio]
+    if has_short:
+        in_specs += [spec_cur(n0), spec_prev(n0)]
+        args += [short_audio, short_audio]
+    in_specs += [
+        pl.BlockSpec((R, scal.shape[1]), lambda c, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, slopes.shape[1]), lambda c, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        # [C, 1, W] so the block's last two dims satisfy the (8, 128)
+        # divisible-or-full rule (a bare (1, W) channel row does not)
+        pl.BlockSpec((1, 1, slopes.shape[1]), lambda c, i: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [scal, slopes, pwr0[:, None, :]]
+    W = n1 // 2
+    out, pwr_out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Tp, C * outw), jnp.int16),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((R, C, n1), lambda i: (i, 0, 0),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, C * outw), jnp.int16),
+            jax.ShapeDtypeStruct((C, 1, W), jnp.float32),
+        ),
+        grid=(C, Tp // R),
+        in_specs=in_specs,
+        # channels on the output lane axis: [T, C*outw] splits to
+        # [T, C, outw] for free
+        out_specs=(
+            pl.BlockSpec((R, outw), lambda c, i: (i, c),
                          memory_space=pltpu.VMEM),
-            # the same array, one block back (clamped): provides row -1
-            pl.BlockSpec((R, C, n1),
-                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+            # revisited per-channel carry block (see kernel tail)
+            pl.BlockSpec((1, 1, W), lambda c, i: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, slopes.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, slopes.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, C * outw), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
-    )(audio, audio, scal, slopes, pwr0)
-    return out[:T].reshape(T, C, outw)
+    )(*args)
+    return out[:T].reshape(T, C, outw), pwr_out[:, 0, :]

@@ -155,10 +155,17 @@ def overlap_add_i16_kernel_batch(
 ):
     """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
     bit-identical output — see ops/overlap_kernel.py). Same signature and
-    return convention."""
+    return convention. ``audio`` may also be a ``(long, short)`` tuple of
+    un-selected IMDCT GEMM outputs (``imdct_batch_parts``) — the kernel
+    then does the per-packet blocksize select in VMEM, which saves a full
+    [T, C, n1] relayout pass XLA inserts before the custom-call."""
     from .overlap_kernel import overlap_i16_pallas
 
-    T, C, _ = audio.shape
+    if isinstance(audio, tuple):
+        long_a, short_a = audio
+    else:
+        long_a, short_a = audio, None
+    T, C, _ = long_a.shape
     W = n1 // 2
     pwr0, plen0, started0 = carry
     long_blk = blockflag == 1
@@ -183,26 +190,21 @@ def overlap_add_i16_kernel_batch(
         f(sel_prev == 0), f(sel_prev == 1),
         f(jnp.arange(T, dtype=jnp.int32) == 0),
         overlap_len.astype(jnp.float32), out_len.astype(jnp.float32),
-    ], axis=1)  # [T, 8]
+        f(long_blk), f(valid), f(sel == 0), f(sel == 1),
+        jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                         f(long_blk)[:-1]]),  # prev packet's blockflag
+    ], axis=1)  # [T, 13]
     rev0 = jnp.concatenate([slope0[: n0 // 2][::-1],
                             jnp.zeros(W - n0 // 2, slope0.dtype)])
     slopes = jnp.stack([slope0, slope1, rev0, slope1[::-1]])  # [4, W]
-    out = overlap_i16_pallas(audio, scal, slopes, pwr0, n0, n1,
-                             interpret=interpret)
+    # the pwr carry comes out of the kernel (an outside dynamic_index on
+    # the audio would force XLA to relayout the whole tensor)
+    out, pwr_out = overlap_i16_pallas(long_a, short_a, scal, slopes, pwr0,
+                                      n0, n1, interpret=interpret)
 
-    # carry out (tiny [C, W] slices of the last valid packet)
     nvalid = jnp.sum(valid.astype(jnp.int32))
     last = jnp.maximum(nvalid - 1, 0)
     any_valid = nvalid > 0
-    a_last = jax.lax.dynamic_index_in_dim(audio, last, 0, False)
-    m_start = (3 * n1 - n0) // 4
-    pad_w = lambda x: jnp.pad(x, [(0, 0), (0, W - x.shape[1])])  # noqa: E731
-    sl = sel[last]
-    pwr_last = jnp.where(
-        sl == 0, a_last[:, W:],
-        jnp.where(sl == 1, pad_w(a_last[:, m_start : m_start + n0 // 2]),
-                  pad_w(a_last[:, n0 // 2 : n0])))
-    pwr_out = jnp.where(any_valid, pwr_last, pwr0)
     plen_out = jnp.where(any_valid, new_plen[last], plen0)
     started_out = started0 | any_valid
     return (out, out_len), (pwr_out, plen_out, started_out)

@@ -119,6 +119,45 @@ def test_pallas_kernel_vmapped():
     assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
 
 
+def test_pallas_kernel_parts_variant():
+    """(long, short) un-selected GEMM outputs: kernel selects in VMEM.
+
+    T=48 with a mixed every-3rd-short blockflag pins the block-boundary
+    prev-row select (a long/short flag taken from the wrong block produced
+    full-scale errors at rows 16/32/48 on real hardware)."""
+    rng = np.random.default_rng(3)
+    s0, s1 = _slopes()
+    for T in (16, 33, 48):
+        (_, bf, pf, nf, v), carry = _rand_case(rng, T)
+        if T == 48:
+            bfm = np.ones(T, np.int32)
+            bfm[::3] = 0
+            bf = jnp.asarray(bfm)
+            v = jnp.asarray(np.ones(T, bool))
+        long_a = jnp.asarray((rng.standard_normal((T, C, N1)) * 0.5)
+                             .astype(np.float32))
+        short_a = jnp.asarray((rng.standard_normal((T, C, N0)) * 0.5)
+                              .astype(np.float32))
+        # the XLA reference path takes the pre-selected audio
+        audio = jnp.where((bf == 1)[:, None, None], long_a,
+                          jnp.pad(short_a, [(0, 0), (0, 0), (0, N1 - N0)]))
+        (out_f, len_f), car_f = jax.jit(
+            overlap_add_batch, static_argnums=(7, 8))(
+                audio, bf, pf, nf, v, s0, s1, N0, N1, carry)
+        ref = np.asarray(jnp.trunc(
+            jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
+        (out_k, len_k), car_k = jax.jit(
+            lambda la, sa, b, p, n, vv, c:
+            overlap_add_i16_kernel_batch(
+                (la, sa), b, p, n, vv, s0, s1, N0, N1, c, interpret=True)
+        )(long_a, short_a, bf, pf, nf, v, carry)
+        assert np.abs(ref.astype(np.int32)
+                      - np.asarray(out_k, np.int32)).max() <= 1
+        assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
+        for x, y in zip(car_f, car_k):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_read_all_i16_jax_matches_f32_path(tmp_path):
     """read_all_i16 (device i16 path) vs to_i16(read_all_planar_f32)."""
     pytest.importorskip("lewton_tpu.native")
