@@ -36,6 +36,7 @@ from ..ops.floor_curve import (
     floor1_brackets_mxu,
     floor1_render,
     floor1_step_matrix,
+    floor1_telescopes,
 )
 
 from ..ops.synth_kernel import fused_floor_couple
@@ -328,7 +329,11 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         "prev_flag": np.zeros(T, bool),
         "next_flag": np.zeros(T, bool),
         "valid": np.zeros(T, bool),
-        "residue": np.zeros((T, C, W),
+        # FLAT [T, C*W] (row-major view of [T, C, W]): a [.., C, W] jit
+        # parameter gets a (8,128)-tile layout that pads C=2 sublanes 4x —
+        # the flat shape tiles cleanly and skips ~1.7 ms/chunk of de-pad
+        # reshapes on device
+        "residue": np.zeros((T, C * W),
                             np.int16 if cs.residue_i16 else np.float32),
         "f_used": np.zeros((T, C), bool),
         "f1_ys": np.zeros((T, C, P), np.int32),
@@ -344,7 +349,7 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
         fr["next_flag"][t] = plan.next_window_flag
         fr["valid"][t] = True
         w = min(plan.n // 2, W)
-        fr["residue"][t, :, :w] = plan.residue[:, :w]
+        fr["residue"][t].reshape(C, W)[:, :w] = plan.residue[:, :w]
         for c, f in enumerate(plan.floors):
             if f[0] == "unused":
                 continue
@@ -389,10 +394,40 @@ def _synthesize_spectra_tapped(cs, fr, allow_fused: bool = True):
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.w_eff  # spectra are zero past the residue extent (see w_eff)
+
+    # Fast path: the fused floor Pallas kernel (brackets GEMM + render +
+    # coupling + dot in VMEM) — reads residue frames in their native
+    # layout, which also kills XLA's T-minor input relayout passes.
+    from ..ops.floor_kernel import floor_spectra_pallas, pallas_floor_supported
+
+    T = mode.shape[0]
+    if (allow_fused and "f1_brackets" not in fr
+            and jax.default_backend() == "tpu"
+            and pallas_floor_supported(cs, T)
+            and fr["residue"].shape[-1] == cs.channels * W):
+        C = cs.channels
+        xs = _by_mode(cs.f1_xs, mode)
+        tele = floor1_telescopes(xs, fr["f1_ys"], fr["f1_flags"],
+                                 cs.f1_mult[mode])
+        P1 = tele[0].shape[2]
+        tele = jnp.stack(tele, axis=2).reshape(T, C * 4 * P1)
+        scal = jnp.concatenate(
+            [mode.astype(jnp.float32)[:, None],
+             fr["f_used"].astype(jnp.float32)], axis=1)
+        M = cs.f1_step.shape[1] // P1
+        spectra = floor_spectra_pallas(
+            tele, fr["residue"], scal,
+            cs.f1_step.astype(jnp.bfloat16), cs.static_coupling,
+            cs.db_c0, cs.db_c1, C, W, M,
+        )
+        return spectra, bf, {}
+
+    fr = dict(fr)
+    if fr["residue"].ndim == 2:  # flat [T, C*W] frame -> [T, C, W]
+        fr["residue"] = fr["residue"].reshape(T, cs.channels, W)
     if fr["residue"].dtype != jnp.float32:
         # i16 transport (see CompiledSetup.residue_i16): exact cast back;
         # XLA fuses the convert into the first consuming pass
-        fr = dict(fr)
         fr["residue"] = fr["residue"].astype(jnp.float32)
 
     taps = {}
@@ -502,10 +537,12 @@ def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
             )
         if isinstance(audio, tuple):
             raise TypeError("imdct parts require the Pallas overlap path")
-        return overlap_add_i16_batch(
+        (out, out_len), carry = overlap_add_i16_batch(
             audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
             cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
         )
+        # flat [T, C*outw] like the kernel path (device reshape re-tiles)
+        return (out.reshape(out.shape[0], -1), out_len), carry
     (out, out_len), carry = overlap_add_batch(
         audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
         cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
@@ -732,15 +769,18 @@ class StreamDecoder:
 
     def decode_packets_i16(self, packets: list[bytes]) -> list[np.ndarray]:
         """Like :meth:`decode_packets` but through the device i16 output
-        path (the fused overlap+i16 kernel on TPU): planar i16 [C, len]."""
+        path (the fused overlap+i16 kernel on TPU): planar i16 [C, len].
+        The device chunk output is flat [T, C*outw]; the split to [C, outw]
+        happens here on the host (free numpy view)."""
         outs: list[np.ndarray] = []
+        C = self.cs.channels
         for i in range(0, len(packets), self.chunk):
             batch = packets[i : i + self.chunk]
             fr = self.entropy_chunk(batch)
             fr = {k: jnp.asarray(v) for k, v in fr.items()}
             (out, out_len), self.carry = decode_frames(
                 self.cs, fr, self.carry, with_i16=True)
-            out = np.asarray(out)
+            out = np.asarray(out).reshape(len(out), C, -1)
             out_len = np.asarray(out_len)
             for t in range(len(batch)):
                 outs.append(out[t, :, : int(out_len[t])])

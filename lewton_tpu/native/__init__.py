@@ -176,7 +176,7 @@ class NativeStream:
             "prev_flag": z(T, dt=bool),
             "next_flag": z(T, dt=bool),
             "valid": z(T, dt=bool),
-            "residue": z(T, Cn, W, dt=self.residue_dtype),
+            "residue": z(T, Cn * W, dt=self.residue_dtype),  # flat frame
             "f_used": z(T, Cn, dt=bool),
             "f1_ys": z(T, Cn, P, dt=np.int32),
             "f1_flags": z(T, Cn, P, dt=bool),
@@ -220,7 +220,7 @@ class NativeStream:
             rptr, _u8(u8v(fr["f_used"])),
             _ptr(fr["f1_ys"], C.c_int32), _u8(u8v(fr["f1_flags"])),
             _ptr(fr["f0_cosc"], C.c_float), _ptr(fr["f0_amp"], C.c_float),
-            int(fr["residue"].shape[-1]),
+            int(self.frame_width),
         )
         fr["valid"][:n] = status[:n] == 0
         return fr, status

@@ -94,34 +94,16 @@ def floor1_curve_batch(
     )
 
 
-def floor1_brackets_mxu(
+def floor1_telescopes(
     xs: jnp.ndarray,  # i32 [T, C, P] sorted post x (mode-gathered, pad BIG_X)
     ys: jnp.ndarray,  # i32 [T, C, P] final_y in sorted order
     flags: jnp.ndarray,  # bool [T, C, P]
     mult: jnp.ndarray,  # i32 [T, C]
-    mode: jnp.ndarray,  # i32 [T]
-    step: jnp.ndarray,  # f32 [C, M*(P+1), W] static (xs[m,c,p] <= w),
-    #                     pre-transposed GEMM layout (floor1_step_matrix)
-    db_c0: float,
-    db_c1: float,
-    width: int,
-) -> jnp.ndarray:
-    """floor1 post-bracketing on the MXU -> [T, 4, C, W] brackets.
-
-    Telescoping trick: along the sorted flagged posts, emit per post the
-    difference to the previous flagged post (e) and to the next (g, with a
-    virtual horizontal-tail post at x=2^15 carrying the last flagged y).
-    Then for every bin w,
-
-        lo(w) = sum_p e_p * [x_p <= w]      (last flagged post at/before w)
-        hi(w) = sum_p g_p - sum_p g_p * [x_p <= w]   (first flagged after w)
-
-    and [x_p <= w] is *setup-static* per (mode, channel, post) — so the
-    whole bracketing search is four [T,P+1]x[P+1,W] matmuls against a
-    constant step matrix, instead of a P-pass compare sweep on the VPU
-    (~6x less vector work; integer values stay < 2^20, exact in f32).
-    x and y telescope separately so partial sums stay exactly representable.
-    """
+):
+    """Per-post telescoping differences for the bracket GEMMs: returns
+    (ex, ey, gx, gy) f32 [T, C, P+1] (see floor1_brackets_mxu). Tiny
+    tensors — stays in XLA; consumed by the GEMM here or by the fused
+    floor Pallas kernel (ops/floor_kernel.py)."""
     T, C, P = xs.shape
     VX = 1 << 15  # virtual tail post x (beyond any real x)
     ysm = ys * mult[:, :, None]
@@ -163,6 +145,39 @@ def floor1_brackets_mxu(
     ey = jnp.concatenate([ey, zero], axis=2)
     gx = jnp.concatenate([gx, jnp.full((T, C, 1), np.float32(VX))], axis=2)
     gy = jnp.concatenate([gy, last_y[:, :, None].astype(jnp.float32)], axis=2)
+    return ex, ey, gx, gy
+
+
+def floor1_brackets_mxu(
+    xs: jnp.ndarray,  # i32 [T, C, P] sorted post x (mode-gathered, pad BIG_X)
+    ys: jnp.ndarray,  # i32 [T, C, P] final_y in sorted order
+    flags: jnp.ndarray,  # bool [T, C, P]
+    mult: jnp.ndarray,  # i32 [T, C]
+    mode: jnp.ndarray,  # i32 [T]
+    step: jnp.ndarray,  # f32 [C, M*(P+1), W] static (xs[m,c,p] <= w),
+    #                     pre-transposed GEMM layout (floor1_step_matrix)
+    db_c0: float,
+    db_c1: float,
+    width: int,
+) -> jnp.ndarray:
+    """floor1 post-bracketing on the MXU -> [T, 4, C, W] brackets.
+
+    Telescoping trick: along the sorted flagged posts, emit per post the
+    difference to the previous flagged post (e) and to the next (g, with a
+    virtual horizontal-tail post at x=2^15 carrying the last flagged y).
+    Then for every bin w,
+
+        lo(w) = sum_p e_p * [x_p <= w]      (last flagged post at/before w)
+        hi(w) = sum_p g_p - sum_p g_p * [x_p <= w]   (first flagged after w)
+
+    and [x_p <= w] is *setup-static* per (mode, channel, post) — so the
+    whole bracketing search is four [T,P+1]x[P+1,W] matmuls against a
+    constant step matrix, instead of a P-pass compare sweep on the VPU
+    (~6x less vector work; integer values stay < 2^20, exact in f32).
+    x and y telescope separately so partial sums stay exactly representable.
+    """
+    T, C, P = xs.shape
+    ex, ey, gx, gy = floor1_telescopes(xs, ys, flags, mult)
 
     m = step.shape[1] // (P + 1)
     oh = (mode[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)

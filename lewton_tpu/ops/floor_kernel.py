@@ -1,0 +1,192 @@
+"""Pallas kernel: floor1 brackets GEMM + render + coupling + floor x residue.
+
+One kernel runs the whole spectra synthesis for a chunk row-block: the
+bracket contraction on the MXU, the exact-f32 Bresenham render, static
+inverse coupling, and the floor x residue product — reading the residue
+frames in their NATIVE [T, C*W] row-major layout and writing spectra the
+same way.
+
+Why this beats the XLA chain it replaces (measured r2: ~6.5 ms of a 15 ms
+chunk at S=256/T=128):
+- XLA's layout assignment runs the floor chain T-minor (driven by the
+  bracket GEMM), so the residue *input* pays two full relayout passes
+  (~1.7 ms) before coupling even starts. Here every operand keeps its
+  natural layout.
+- The four bracket GEMMs materialize 4 x [S,T,C,W] f32 (940 MB) that the
+  render immediately re-reads. Here the brackets never leave VMEM.
+- The step matrix entries are 0/1 — EXACT in bf16 — so a 2-limb bf16
+  split of the telescope values gives an integer-exact contraction in 2
+  MXU passes (XLA's HIGH needs 3). Stacking (4 telescopes x 2 limbs x 16
+  rows) = 128 GEMM rows fills the MXU's M dimension.
+
+Exactness argument (mirrors floor_curve.floor1_brackets_mxu): telescope
+values are integers |v| < 2^15; the bf16 limbs v1 = bf16(v),
+v2 = v - v1 are exact integers (|v2| <= 2^6); products with a 0/1 matrix
+are exact; any partial sum is bounded by 54 * 2^15 < 2^24, so f32
+accumulation never rounds. The result equals the XLA path bit for bit.
+
+ref parity: lewton src/audio.rs:437-555 (floor1 amplitude render),
+:762-777 (inverse coupling), :1007-1039 (floor x residue) — reformulated
+for the MXU/VPU rather than translated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["floor_spectra_pallas", "pallas_floor_supported"]
+
+ROWS = 16  # packets per grid step: 4 telescopes x 2 limbs x 16 = 128 MXU rows
+
+
+def pallas_floor_supported(cs, T: int) -> bool:
+    """Gate: floor1-only setups with static coupling and lane-aligned
+    spectral width (the generic XLA path remains for the rest)."""
+    return (cs.has_floor1 and not cs.has_floor0
+            and cs.static_coupling is not None
+            and cs.w_eff % 128 == 0 and cs.w_eff >= 128
+            and (cs.w_eff * cs.channels) % 128 == 0)
+
+
+def _fdiv(x, y):
+    # exact floor(x / y) for integer-valued f32 (see floor_curve.fdiv)
+    q = jnp.floor(x / y)
+    r = x - q * y
+    q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
+    q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
+    return q
+
+
+def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
+            C, W, P1, M, R, Kp, steps, db_c0, db_c1):
+    mode = sc_ref[:, 0:1]  # f32 [R, 1]
+    binx_f = jax.lax.broadcasted_iota(
+        jnp.int32, (R, W), 1).astype(jnp.float32)
+    one64 = jnp.float32(64.0)
+
+    curves = []
+    res = []
+    for c in range(C):
+        # ---- bracket contraction: one [8R, M*P1] @ [M*P1, W] GEMM ----
+        rows = []
+        for q in range(4):
+            v = tele_ref[:, (c * 4 + q) * P1 : (c * 4 + q + 1) * P1]
+            # mode one-hot fold into the M*P1 segment layout
+            seg = jnp.concatenate(
+                [v * jnp.where(mode == m, jnp.float32(1.0), jnp.float32(0.0))
+                 for m in range(M)], axis=1)  # [R, M*P1]
+            # pad K to the 128-lane MXU width: Mosaic cannot concatenate
+            # narrow vectors sitting at mismatched lane offsets (seen at
+            # M*P1=7), and the MXU pads K to 128 internally anyway
+            seg = jnp.concatenate(
+                [seg, jnp.zeros((R, Kp - M * P1), jnp.float32)], axis=1)
+            s1 = seg.astype(jnp.bfloat16)
+            s2 = (seg - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+            rows += [s1, s2]
+        lhs = jnp.concatenate(rows, axis=0)  # bf16 [8R, Kp]
+        outg = jnp.dot(lhs, step_ref[c],
+                       preferred_element_type=jnp.float32)  # [8R, W]
+        br = [outg[2 * q * R : (2 * q + 1) * R]
+              + outg[(2 * q + 1) * R : (2 * q + 2) * R] for q in range(4)]
+        lo_x, lo_y, gxc, gyc = br
+        gx_full = jnp.sum(
+            tele_ref[:, (c * 4 + 2) * P1 : (c * 4 + 3) * P1],
+            axis=1, keepdims=True)
+        gy_full = jnp.sum(
+            tele_ref[:, (c * 4 + 3) * P1 : (c * 4 + 4) * P1],
+            axis=1, keepdims=True)
+        hi_x = gx_full - gxc
+        hi_y = gy_full - gyc
+
+        # ---- exact f32 Bresenham + inverse-dB exp (floor_curve.fdiv) ----
+        dy = hi_y - lo_y
+        adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
+        sgn = jnp.sign(dy)
+        ady = jnp.abs(dy)
+        base = sgn * _fdiv(ady, adx)
+        ady_r = ady - jnp.abs(base) * adx
+        d = binx_f - lo_x
+        ah = jnp.floor(ady_r / one64)
+        al = ady_r - ah * one64
+        a_hi = d * ah
+        q1 = _fdiv(a_hi, adx)
+        r1 = a_hi - q1 * adx
+        k = q1 * one64 + _fdiv(r1 * one64 + d * al, adx)
+        y = lo_y + base * d + sgn * k
+        idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
+        curve = jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
+        used = sc_ref[:, 1 + c : 2 + c]  # f32 0/1
+        curves.append(curve * used)
+        r = res_ref[:, c * W : (c + 1) * W]
+        res.append(r.astype(jnp.float32) if r.dtype != jnp.float32 else r)
+
+    # ---- inverse coupling (static steps, reverse order) ----
+    for mag, ang in reversed(steps):
+        m = res[mag]
+        a = res[ang]
+        mpos = m > 0
+        apos = a > 0
+        new_m = jnp.where(mpos, jnp.where(apos, m, m + a),
+                          jnp.where(apos, m, m - a))
+        new_a = jnp.where(mpos, jnp.where(apos, m - a, m),
+                          jnp.where(apos, m + a, m))
+        res[mag] = new_m
+        res[ang] = new_a
+
+    for c in range(C):
+        out_ref[:, c * W : (c + 1) * W] = curves[c] * res[c]
+
+
+def floor_spectra_pallas(
+    tele: jnp.ndarray,  # f32 [T, C*4*(P+1)] packed telescopes (c-major)
+    residue: jnp.ndarray,  # i16|f32 [T, C*W] raw residue frames
+    scal: jnp.ndarray,  # f32 [T, 1+C]: mode, f_used per channel
+    step: jnp.ndarray,  # bf16 [C, M*(P+1), W] 0/1 step matrix
+    steps: tuple,  # static coupling (mag, ang) list
+    db_c0: float,
+    db_c1: float,
+    C: int,
+    W: int,
+    M: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue."""
+    T = tele.shape[0]
+    P1 = tele.shape[1] // (4 * C)
+    R = ROWS
+    Kp = -(-(step.shape[1]) // 128) * 128
+    step = jnp.concatenate(
+        [step, jnp.zeros((step.shape[0], Kp - step.shape[1], step.shape[2]),
+                         step.dtype)], axis=1)
+    pad = (-T) % R
+    if pad:
+        tele = jnp.pad(tele, [(0, pad), (0, 0)])
+        residue = jnp.pad(residue, [(0, pad), (0, 0)])
+        scal = jnp.pad(scal, [(0, pad), (0, 0)])
+    Tp = T + pad
+    kern = functools.partial(_kernel, C=C, W=W, P1=P1, M=M, R=R, Kp=Kp,
+                             steps=tuple(steps), db_c0=db_c0, db_c1=db_c1)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Tp, C * W), jnp.float32),
+        grid=(Tp // R,),
+        in_specs=[
+            pl.BlockSpec((R, tele.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C * W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, scal.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, step.shape[1], W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, C * W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tele, residue, scal, step)
+    return out[:T].reshape(T, C, W)

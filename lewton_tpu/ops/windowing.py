@@ -154,8 +154,9 @@ def overlap_add_i16_kernel_batch(
     n0: int, n1: int, carry, interpret: bool = False,
 ):
     """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
-    bit-identical output — see ops/overlap_kernel.py). Same signature and
-    return convention. ``audio`` may also be a ``(long, short)`` tuple of
+    bit-identical values — see ops/overlap_kernel.py). Same signature, but
+    the i16 output is FLAT [T, C*outw] (split it on the host: a device
+    reshape re-tiles the s16 array). ``audio`` may also be a ``(long, short)`` tuple of
     un-selected IMDCT GEMM outputs (``imdct_batch_parts``) — the kernel
     then does the per-packet blocksize select in VMEM, which saves a full
     [T, C, n1] relayout pass XLA inserts before the custom-call."""

@@ -82,7 +82,7 @@ def synthetic_frames(
         "prev_flag": rng.rand(*shp()) < 0.5,
         "next_flag": rng.rand(*shp()) < 0.5,
         "valid": np.ones(shp(), bool),
-        "residue": (rng.randn(*shp(C, W)) * 0.3).astype(np.float32),
+        "residue": (rng.randn(*shp(C * W)) * 0.3).astype(np.float32),
         "f_used": np.ones(shp(C), bool),
         "f1_ys": rng.randint(0, 128, shp(C, P)).astype(np.int32),
         "f1_flags": rng.rand(*shp(C, P)) < 0.7,

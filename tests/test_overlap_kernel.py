@@ -82,8 +82,8 @@ def test_pallas_kernel_interpret_matches():
         ref = np.asarray(jnp.trunc(
             jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
         (out_k, len_k), car_k = kfn(a, bf, pf, nf, v, s0, s1, carry)
-        assert np.abs(ref.astype(np.int32)
-                      - np.asarray(out_k, np.int32)).max() <= 1
+        out_k = np.asarray(out_k).reshape(ref.shape)  # flat [T, C*outw]
+        assert np.abs(ref.astype(np.int32) - out_k.astype(np.int32)).max() <= 1
         assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
         for x, y in zip(car_f, car_k):
             assert np.array_equal(np.asarray(x), np.asarray(y))
@@ -114,8 +114,8 @@ def test_pallas_kernel_vmapped():
     ref = np.asarray(jnp.trunc(
         jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
     (out_k, len_k), _ = vk(a, bf, pf, nf, v, carry)
-    assert np.abs(ref.astype(np.int32)
-                  - np.asarray(out_k, np.int32)).max() <= 1
+    out_k = np.asarray(out_k).reshape(ref.shape)  # flat [S, T, C*outw]
+    assert np.abs(ref.astype(np.int32) - out_k.astype(np.int32)).max() <= 1
     assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
 
 
@@ -151,8 +151,8 @@ def test_pallas_kernel_parts_variant():
             overlap_add_i16_kernel_batch(
                 (la, sa), b, p, n, vv, s0, s1, N0, N1, c, interpret=True)
         )(long_a, short_a, bf, pf, nf, v, carry)
-        assert np.abs(ref.astype(np.int32)
-                      - np.asarray(out_k, np.int32)).max() <= 1
+        out_k = np.asarray(out_k).reshape(ref.shape)  # flat [T, C*outw]
+        assert np.abs(ref.astype(np.int32) - out_k.astype(np.int32)).max() <= 1
         assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
         for x, y in zip(car_f, car_k):
             assert np.array_equal(np.asarray(x), np.asarray(y))
