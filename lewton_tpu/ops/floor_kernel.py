@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["floor_spectra_pallas", "pallas_floor_supported"]
 
-ROWS = 16  # packets per grid step: 4 telescopes x 2 limbs x 16 = 128 MXU rows
+MAX_ROWS = 64  # packets per grid step: 4 telescopes x 2 limbs x 64 = 512 MXU rows (measured best)
 
 
 def pallas_floor_supported(cs, T: int) -> bool:
@@ -158,7 +158,7 @@ def floor_spectra_pallas(
     """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue."""
     T = tele.shape[0]
     P1 = tele.shape[1] // (4 * C)
-    R = ROWS
+    R = min(MAX_ROWS, -(-T // 8) * 8)
     Kp = -(-(step.shape[1]) // 128) * 128
     step = jnp.concatenate(
         [step, jnp.zeros((step.shape[0], Kp - step.shape[1], step.shape[2]),

@@ -82,7 +82,10 @@ def synthetic_frames(
         "prev_flag": rng.rand(*shp()) < 0.5,
         "next_flag": rng.rand(*shp()) < 0.5,
         "valid": np.ones(shp(), bool),
-        "residue": (rng.randn(*shp(C * W)) * 0.3).astype(np.float32),
+        # integer lattice, like production i16 residue transport when the
+        # setup's codebooks are integer-valued (residue_i16)
+        "residue": np.round(rng.randn(*shp(C * W)) * 80.0).astype(
+            np.int16 if getattr(cs, "residue_i16", False) else np.float32),
         "f_used": np.ones(shp(C), bool),
         "f1_ys": rng.randint(0, 128, shp(C, P)).astype(np.int32),
         "f1_flags": rng.rand(*shp(C, P)) < 0.7,
