@@ -40,7 +40,8 @@ from ..ops.floor_curve import (
 )
 
 from ..ops.synth_kernel import fused_floor_couple
-from ..ops.imdct import imdct_batch, imdct_batch_parts
+from ..ops.imdct import (imdct_batch, imdct_batch_parts,
+                         imdct_batch_parts_ct)
 from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_batch, overlap_add_i16_batch,
                              overlap_add_i16_kernel_batch)
@@ -388,39 +389,62 @@ def _by_mode(table: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     return res.astype(table.dtype)
 
 
+def _floor_kernel_ok(cs, fr, allow_fused: bool = True) -> bool:
+    from ..ops.floor_kernel import pallas_floor_supported
+
+    return (allow_fused and "f1_brackets" not in fr
+            and jax.default_backend() == "tpu"
+            and pallas_floor_supported(cs, fr["mode"].shape[0])
+            and fr["residue"].shape[-1] == cs.channels * cs.w_eff)
+
+
+def _floor_kernel_spectra(cs, fr, ct_out: bool = False):
+    """Run the fused floor Pallas kernel (callers gate on
+    :func:`_floor_kernel_ok`)."""
+    from ..ops.floor_kernel import floor_spectra_pallas
+
+    mode = fr["mode"]
+    T, C, W = mode.shape[0], cs.channels, cs.w_eff
+    xs = _by_mode(cs.f1_xs, mode)
+    tele = floor1_telescopes(xs, fr["f1_ys"], fr["f1_flags"],
+                             cs.f1_mult[mode])
+    P1 = tele[0].shape[2]
+    tele = jnp.stack(tele, axis=2).reshape(T, C * 4 * P1)
+    scal = jnp.concatenate(
+        [mode.astype(jnp.float32)[:, None],
+         fr["f_used"].astype(jnp.float32)], axis=1)
+    M = cs.f1_step.shape[1] // P1
+    return floor_spectra_pallas(
+        tele, fr["residue"], scal,
+        cs.f1_step.astype(jnp.bfloat16), cs.static_coupling,
+        cs.db_c0, cs.db_c1, C, W, M, ct_out=ct_out,
+    )
+
+
+def _synthesize_spectra_ct(cs, fr):
+    """Channel-major spectra [C, T, W] for the i16 fast path (bitcast
+    chain into the ctk IMDCT GEMM). Falls back to transposing the
+    generic path's output when the floor kernel does not apply."""
+    bf = cs.mode_blockflag[fr["mode"]]
+    if _floor_kernel_ok(cs, fr):
+        return _floor_kernel_spectra(cs, fr, ct_out=True), bf
+    spectra, _, _ = _synthesize_spectra_tapped(cs, fr)
+    return jnp.transpose(spectra, (1, 0, 2)), bf
+
+
 def _synthesize_spectra_tapped(cs, fr, allow_fused: bool = True):
     """Stages 1-3 (coupling, floors, dot): per-packet, dependency free.
     Returns (spectra [N, C, W_eff], blockflag [N], taps)."""
     mode = fr["mode"]
     bf = cs.mode_blockflag[mode]  # i32 [T]
     W = cs.w_eff  # spectra are zero past the residue extent (see w_eff)
+    T = mode.shape[0]
 
     # Fast path: the fused floor Pallas kernel (brackets GEMM + render +
     # coupling + dot in VMEM) — reads residue frames in their native
     # layout, which also kills XLA's T-minor input relayout passes.
-    from ..ops.floor_kernel import floor_spectra_pallas, pallas_floor_supported
-
-    T = mode.shape[0]
-    if (allow_fused and "f1_brackets" not in fr
-            and jax.default_backend() == "tpu"
-            and pallas_floor_supported(cs, T)
-            and fr["residue"].shape[-1] == cs.channels * W):
-        C = cs.channels
-        xs = _by_mode(cs.f1_xs, mode)
-        tele = floor1_telescopes(xs, fr["f1_ys"], fr["f1_flags"],
-                                 cs.f1_mult[mode])
-        P1 = tele[0].shape[2]
-        tele = jnp.stack(tele, axis=2).reshape(T, C * 4 * P1)
-        scal = jnp.concatenate(
-            [mode.astype(jnp.float32)[:, None],
-             fr["f_used"].astype(jnp.float32)], axis=1)
-        M = cs.f1_step.shape[1] // P1
-        spectra = floor_spectra_pallas(
-            tele, fr["residue"], scal,
-            cs.f1_step.astype(jnp.bfloat16), cs.static_coupling,
-            cs.db_c0, cs.db_c1, C, W, M,
-        )
-        return spectra, bf, {}
+    if _floor_kernel_ok(cs, fr, allow_fused):
+        return _floor_kernel_spectra(cs, fr), bf, {}
 
     fr = dict(fr)
     if fr["residue"].ndim == 2:  # flat [T, C*W] frame -> [T, C, W]
@@ -570,12 +594,18 @@ def decode_frames_core(
             and imdct is imdct_batch
             and jax.default_backend() == "tpu"
             and pallas_overlap_supported(cs.n0, cs.n1, T)):
-        # i16 fast path: skip the long/short select in XLA — the Pallas
-        # overlap kernel selects in VMEM (see imdct_batch_parts)
-        spectra, bf, _ = _synthesize_spectra_tapped(cs, fr)
-        parts = imdct_batch_parts(spectra, cs.imdct_m0, cs.imdct_m1)
-        audio = parts if parts[1] is not None else parts[0]
-        return finish_stream(cs, audio, bf, fr, carry, True, None)
+        # i16 fast path: channel-major [C, T, *] end to end — the floor
+        # kernel's spectra, the IMDCT GEMM (ctk,kn->ctn), and the overlap
+        # kernel's inputs all share one physical layout, so every hop is a
+        # bitcast (the [T, C, *] order costs a 235 MB relayout at the GEMM)
+        spectra_ct, bf = _synthesize_spectra_ct(cs, fr)
+        long_a, short_a = imdct_batch_parts_ct(
+            spectra_ct, cs.imdct_m0, cs.imdct_m1)
+        audio = (long_a, short_a) if short_a is not None else long_a
+        return overlap_add_i16_kernel_batch(
+            audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+            cs.slope0, cs.slope1, cs.n0, cs.n1, carry, ct_in=True,
+        )
 
     audio, bf, taps = _synthesize_audio_tapped(
         cs, fr, imdct, allow_fused=not with_taps)

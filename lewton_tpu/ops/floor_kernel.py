@@ -63,7 +63,7 @@ def _fdiv(x, y):
 
 
 def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
-            C, W, P1, M, R, Kp, steps, db_c0, db_c1):
+            C, W, P1, M, R, Kp, steps, db_c0, db_c1, ct_out):
     mode = sc_ref[:, 0:1]  # f32 [R, 1]
     binx_f = jax.lax.broadcasted_iota(
         jnp.int32, (R, W), 1).astype(jnp.float32)
@@ -139,7 +139,10 @@ def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
         res[ang] = new_a
 
     for c in range(C):
-        out_ref[:, c * W : (c + 1) * W] = curves[c] * res[c]
+        if ct_out:
+            out_ref[c, :, :] = curves[c] * res[c]
+        else:
+            out_ref[:, c * W : (c + 1) * W] = curves[c] * res[c]
 
 
 def floor_spectra_pallas(
@@ -153,9 +156,12 @@ def floor_spectra_pallas(
     C: int,
     W: int,
     M: int,
+    ct_out: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue."""
+    """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue —
+    or [C, T, W] with ``ct_out`` (the layout the downstream ctk,kn IMDCT
+    GEMM consumes as a bitcast; [T, C, W] costs a 235 MB relayout)."""
     T = tele.shape[0]
     P1 = tele.shape[1] // (4 * C)
     R = min(MAX_ROWS, -(-T // 8) * 8)
@@ -170,10 +176,17 @@ def floor_spectra_pallas(
         scal = jnp.pad(scal, [(0, pad), (0, 0)])
     Tp = T + pad
     kern = functools.partial(_kernel, C=C, W=W, P1=P1, M=M, R=R, Kp=Kp,
-                             steps=tuple(steps), db_c0=db_c0, db_c1=db_c1)
+                             steps=tuple(steps), db_c0=db_c0, db_c1=db_c1,
+                             ct_out=ct_out)
+    out_shape = (jax.ShapeDtypeStruct((C, Tp, W), jnp.float32) if ct_out
+                 else jax.ShapeDtypeStruct((Tp, C * W), jnp.float32))
+    out_spec = (pl.BlockSpec((C, R, W), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM) if ct_out
+                else pl.BlockSpec((R, C * W), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Tp, C * W), jnp.float32),
+        out_shape=out_shape,
         grid=(Tp // R,),
         in_specs=[
             pl.BlockSpec((R, tele.shape[1]), lambda i: (i, 0),
@@ -185,8 +198,9 @@ def floor_spectra_pallas(
             pl.BlockSpec((C, step.shape[1], W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, C * W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )(tele, residue, scal, step)
+    if ct_out:
+        return out[:, :T]  # [C, T, W]
     return out[:T].reshape(T, C, W)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["imdct_batch", "imdct_batch_parts"]
+__all__ = ["imdct_batch", "imdct_batch_parts", "imdct_batch_parts_ct"]
 
 
 #: matmul precision for the transform. On TPU: "high" = 3-pass bf16
@@ -83,3 +83,28 @@ def imdct_batch(
     pad = [(0, 0), (0, 0), (0, n1 - n0)]
     short_out = jnp.pad(short_out, pad)
     return jnp.where((blockflag == 1)[:, None, None], long_out, short_out)
+
+
+def imdct_batch_parts_ct(
+    spectra_ct: jnp.ndarray,  # f32 [C, T, n1/2] (channel-major)
+    m0: jnp.ndarray,
+    m1: jnp.ndarray,
+):
+    """Channel-major variant of :func:`imdct_batch_parts`: consumes the
+    floor kernel's [C, T, W] spectra as a bitcast and emits [C, T, n]
+    outputs in the layout the overlap kernel reads as a bitcast — no
+    relayout copies anywhere on the i16 fast path. Same contraction per
+    output element, so numerics match imdct_batch_parts exactly."""
+    prec = jax.lax.Precision(PRECISION)
+    long_out = jnp.einsum(
+        "ctk,kn->ctn", spectra_ct, m1, precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    if m0.shape[1] == m1.shape[1]:
+        return long_out, None
+    short_out = jnp.einsum(
+        "ctk,kn->ctn", spectra_ct[:, :, : m0.shape[0]], m0,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return long_out, short_out

@@ -163,6 +163,7 @@ def overlap_i16_pallas(
     pwr0: jnp.ndarray,  # f32 [C, W] carried-in right region
     n0: int,
     n1: int,
+    ct_in: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (i16 [T, C*outw] FLAT, pwr_out [C, W]).
@@ -170,14 +171,17 @@ def overlap_i16_pallas(
     The output stays flat: splitting [C*outw] -> [C, outw] on device
     re-tiles the s16 array (~1.7 ms/chunk at S=256); callers reshape the
     numpy array on the host for free."""
-    T, C, _ = long_audio.shape
+    if ct_in:  # inputs already [C, T, n] (imdct_batch_parts_ct)
+        C, T, _ = long_audio.shape
+    else:
+        T, C, _ = long_audio.shape
+        # [C, T, n]: relabels the GEMM's physical layout — a bitcast
+        long_audio = jnp.transpose(long_audio, (1, 0, 2))
+        if short_audio is not None:
+            short_audio = jnp.transpose(short_audio, (1, 0, 2))
     outw = 3 * n1 // 4
     R = min(MAX_ROWS, -(-T // 16) * 16)  # adaptive: small chunks pad to 16s
     pad = (-T) % R
-    # [C, T, n]: relabels the GEMM's physical layout — a bitcast, not a copy
-    long_audio = jnp.transpose(long_audio, (1, 0, 2))
-    if short_audio is not None:
-        short_audio = jnp.transpose(short_audio, (1, 0, 2))
     if pad:
         long_audio = jnp.pad(long_audio, [(0, 0), (0, pad), (0, 0)])
         if short_audio is not None:

@@ -151,7 +151,8 @@ def overlap_add_batch(
 
 def overlap_add_i16_kernel_batch(
     audio, blockflag, prev_flag, next_flag, valid, slope0, slope1,
-    n0: int, n1: int, carry, interpret: bool = False,
+    n0: int, n1: int, carry, ct_in: bool = False,
+    interpret: bool = False,
 ):
     """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
     bit-identical values — see ops/overlap_kernel.py). Same signature, but
@@ -166,7 +167,10 @@ def overlap_add_i16_kernel_batch(
         long_a, short_a = audio
     else:
         long_a, short_a = audio, None
-    T, C, _ = long_a.shape
+    if ct_in:
+        C, T = long_a.shape[0], long_a.shape[1]
+    else:
+        T, C, _ = long_a.shape
     W = n1 // 2
     pwr0, plen0, started0 = carry
     long_blk = blockflag == 1
@@ -201,7 +205,8 @@ def overlap_add_i16_kernel_batch(
     # the pwr carry comes out of the kernel (an outside dynamic_index on
     # the audio would force XLA to relayout the whole tensor)
     out, pwr_out = overlap_i16_pallas(long_a, short_a, scal, slopes, pwr0,
-                                      n0, n1, interpret=interpret)
+                                      n0, n1, ct_in=ct_in,
+                                      interpret=interpret)
 
     nvalid = jnp.sum(valid.astype(jnp.int32))
     last = jnp.maximum(nvalid - 1, 0)
