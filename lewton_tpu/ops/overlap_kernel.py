@@ -49,12 +49,13 @@ def pallas_overlap_supported(n0: int, n1: int, T: int) -> bool:
     return n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
 
 
-def _kernel(*refs, n0, n1, R, has_short):
-    if has_short:
-        (la_ref, lb_ref, sa_ref, sb_ref, sc_ref, sl_ref, pwr0_ref,
-         out_ref, pwr_out_ref) = refs
-    else:
-        la_ref, lb_ref, sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = refs
+def _kernel(*refs, n0, n1, R, has_short, has_prev_view):
+    it = iter(refs)
+    la_ref = next(it)
+    lb_ref = next(it) if has_prev_view else la_ref
+    sa_ref = next(it) if has_short else None
+    sb_ref = (next(it) if has_prev_view else sa_ref) if has_short else None
+    sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = it
     W = n1 // 2
     outw = 3 * n1 // 4
     ls = (n1 - n0) // 4
@@ -96,7 +97,10 @@ def _kernel(*refs, n0, n1, R, has_short):
     # boundary instead of the previous block's
     row = assemble(la_ref[0], sa_ref[0] if has_short else None, bf)
     # previous packet's row: last row of the block-shifted view for the
-    # first row in the block, in-block neighbor otherwise
+    # first row in the block, in-block neighbor otherwise. When ONE block
+    # covers the whole chunk there is no shifted view (it would re-read
+    # the identical block from HBM): row 0's "previous" is garbage from
+    # this block, always masked by the is_t0 -> pwr0 select below.
     prev_a = jnp.concatenate(
         [lb_ref[0, R - 1 : R, :], la_ref[0, : R - 1, :]], axis=0)
     prev_s = (jnp.concatenate(
@@ -189,17 +193,25 @@ def overlap_i16_pallas(
         scal = jnp.pad(scal, [(0, pad), (0, 0)])  # out_len 0 => zero rows
     Tp = T + pad
     has_short = short_audio is not None
-    kern = functools.partial(_kernel, n0=n0, n1=n1, R=R, has_short=has_short)
+    has_prev_view = Tp > R  # single-block chunks need no shifted view
+    kern = functools.partial(_kernel, n0=n0, n1=n1, R=R, has_short=has_short,
+                             has_prev_view=has_prev_view)
     spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
     spec_prev = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, jnp.maximum(i - 1, 0), 0),
         memory_space=pltpu.VMEM)
-    in_specs = [spec_cur(n1), spec_prev(n1)]
-    args = [long_audio, long_audio]
+    in_specs = [spec_cur(n1)]
+    args = [long_audio]
+    if has_prev_view:
+        in_specs += [spec_prev(n1)]
+        args += [long_audio]
     if has_short:
-        in_specs += [spec_cur(n0), spec_prev(n0)]
-        args += [short_audio, short_audio]
+        in_specs += [spec_cur(n0)]
+        args += [short_audio]
+        if has_prev_view:
+            in_specs += [spec_prev(n0)]
+            args += [short_audio]
     in_specs += [
         pl.BlockSpec((R, scal.shape[1]), lambda c, i: (i, 0),
                      memory_space=pltpu.VMEM),
