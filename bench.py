@@ -47,6 +47,12 @@ def main() -> None:
         "incrementally, aggregate x-realtime polled to completion",
     )
     ap.add_argument(
+        "--compact", default="device", choices=["device", "host"],
+        help="--e2e output compaction: on-device scan (min D2H bytes; "
+        "best through the slow tunnel) or host slicing of the padded "
+        "i16 kernel output (no compaction scan; best on real PCIe)",
+    )
+    ap.add_argument(
         "--frontend", action="store_true",
         help="host entropy front-end in isolation: packets/s through the "
         "native lt_decode_chunk batch path (no device, no transfers)",
@@ -312,12 +318,12 @@ def bench_e2e(args) -> None:
         raw_headers=(headers.raw_ident, headers.raw_setup),
     )
     # warmup/compile with the same batch geometry as the timed run
-    dec.decode_streams_i16([pcks] * S)
+    dec.decode_streams_i16([pcks] * S, compact=args.compact)
 
     import time
 
     t0 = time.perf_counter()
-    outs = dec.decode_streams_i16([pcks] * S)
+    outs = dec.decode_streams_i16([pcks] * S, compact=args.compact)
     dt = time.perf_counter() - t0
     total = sum(o.shape[0] for o in outs)
     audio_seconds = total / headers.ident.sample_rate

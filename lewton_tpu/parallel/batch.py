@@ -171,6 +171,15 @@ def decode_chunk_batch_packed(cs, residue, bbuf, ibuf, fbuf, shapes, carry,
     return _batch_core(cs, fr, carry, False, compact_cap)
 
 
+@partial(jax.jit, static_argnames=("shapes",))
+def decode_chunk_batch_packed_i16(cs, residue, bbuf, ibuf, fbuf, shapes,
+                                  carry):
+    """Packed-transfer chunk decode through the padded i16 kernel path
+    (flat [S, T, C*outw] output; compaction happens on the host)."""
+    fr = unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes)
+    return _batch_core(cs, fr, carry, True, None)
+
+
 def host_buffers_reusable() -> bool:
     """Whether a host frame buffer may be rewritten once its device_put
     result is ready.
@@ -274,12 +283,17 @@ class BatchDecoder:
             for o in outs
         ]
 
-    def decode_streams_i16(self, streams: list[list[bytes]]) -> list[np.ndarray]:
+    def decode_streams_i16(self, streams: list[list[bytes]],
+                           compact: str = "device") -> list[np.ndarray]:
         """Serving path: returns interleaved i16 PCM [total, C] per stream.
 
-        PCM is compacted and converted to i16 on device, so the device->host
-        transfer is the exact audio payload (no padding) — ~100x less PCIe
-        traffic than the f32 padded path.
+        ``compact="device"``: PCM is compacted and converted to i16 on
+        device, so the device->host transfer is the exact audio payload
+        (no padding) — best when the link is slow (the axon tunnel).
+        ``compact="host"``: the fused overlap+i16 Pallas kernel emits the
+        padded flat chunk and the host slices it — ~1.3x more D2H bytes
+        but removes the device compaction scan (~10x the synthesis time
+        per chunk); best on real PCIe where transfers are cheap.
 
         The chunk loop is pipelined (SURVEY §7 step 6): each chunk's device
         compute + D2H stream asynchronously while the host entropy-decodes
@@ -328,6 +342,15 @@ class BatchDecoder:
                 (pcm, total, _), carry = decode_chunk_sharded(
                     self.mesh, self.cs, fr, carry, compact_cap=cap
                 )
+            elif compact == "host":
+                residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
+                dev = (jnp.asarray(residue), jnp.asarray(bb),
+                       jnp.asarray(ib), jnp.asarray(fb))
+                if buf is not None:
+                    h2d_refs[ci % 2] = dev
+                (pcm, _), carry = decode_chunk_batch_packed_i16(
+                    self.cs, *dev, shapes, carry,
+                )
             else:
                 residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
                 dev = (jnp.asarray(residue), jnp.asarray(bb),
@@ -344,17 +367,28 @@ class BatchDecoder:
                 pcm.copy_to_host_async()
             except Exception:  # noqa: BLE001 — backend without async copy
                 pass
-            chunks.append((pcm, totals))
+            chunks.append((pcm, totals, lens if compact == "host" else None))
         # exact-size outputs, filled with one copy pass per chunk
         sums = np.zeros(S, np.int64)
-        for _, totals in chunks:
+        for _, totals, _ in chunks:
             sums += totals
         outs = [np.empty((int(sums[s]), C), np.int16) for s in range(S)]
         offs = np.zeros(S, np.int64)
-        for pcm, totals in chunks:
-            a = np.asarray(pcm)  # [S, cap, C] i16 (already streamed to host)
-            for s in range(S):
-                n = int(totals[s])
-                outs[s][int(offs[s]) : int(offs[s]) + n] = a[s, :n]
+        for pcm, totals, lens in chunks:
+            a = np.asarray(pcm)  # (already streamed to host)
+            if lens is None:  # device-compacted [S, cap, C]
+                for s in range(S):
+                    n = int(totals[s])
+                    outs[s][int(offs[s]) : int(offs[s]) + n] = a[s, :n]
+            else:  # padded flat [S, T, C*outw]: slice + interleave here
+                T = a.shape[1]
+                a = a.reshape(S, T, C, -1)
+                for s in range(S):
+                    pos = int(offs[s])
+                    for t in range(T):
+                        n = int(lens[s, t])
+                        if n:
+                            outs[s][pos : pos + n] = a[s, t, :, :n].T
+                            pos += n
             offs += totals
         return outs

@@ -84,3 +84,18 @@ def test_decode_streams_i16_matches_reference(corpus_dir):
         assert o.shape[0] >= ref.shape[0]  # no end-of-stream truncation here
         diff = np.abs(o[: ref.shape[0]].astype(int) - ref.astype(int))
         assert diff.max() <= 1
+
+
+def test_decode_streams_i16_host_compaction(corpus_dir):
+    """compact='host' (padded i16 kernel output, host slicing) must match
+    compact='device' (on-device compaction scan) within 1 LSB."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    headers, pcks = _audio_packets(path)
+    a = BatchDecoder(headers.ident, headers.setup,
+                     chunk=16).decode_streams_i16([pcks, pcks])
+    b = BatchDecoder(headers.ident, headers.setup,
+                     chunk=16).decode_streams_i16([pcks, pcks],
+                                                  compact="host")
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
