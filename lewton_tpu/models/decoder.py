@@ -554,7 +554,7 @@ def finish_stream(cs: CompiledSetup, audio, bf, fr: dict, carry,
 
         T = bf.shape[0]
         if (jax.default_backend() == "tpu"
-                and pallas_overlap_supported(cs.n0, cs.n1, T)):
+                and pallas_overlap_supported(cs.n0, cs.n1, T, cs.channels)):
             return overlap_add_i16_kernel_batch(
                 audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
                 cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
@@ -593,7 +593,7 @@ def decode_frames_core(
     if (with_i16 and compact_cap is None and not with_taps
             and imdct is imdct_batch
             and jax.default_backend() == "tpu"
-            and pallas_overlap_supported(cs.n0, cs.n1, T)):
+            and pallas_overlap_supported(cs.n0, cs.n1, T, cs.channels)):
         # i16 fast path: channel-major [C, T, *] end to end — the floor
         # kernel's spectra, the IMDCT GEMM (ctk,kn->ctn), and the overlap
         # kernel's inputs all share one physical layout, so every hop is a

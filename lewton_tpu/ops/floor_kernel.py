@@ -46,11 +46,18 @@ MAX_ROWS = 64  # packets per grid step: 4 telescopes x 2 limbs x 64 = 512 MXU ro
 
 def pallas_floor_supported(cs, T: int) -> bool:
     """Gate: floor1-only setups with static coupling and lane-aligned
-    spectral width (the generic XLA path remains for the rest)."""
-    return (cs.has_floor1 and not cs.has_floor0
+    spectral width (the generic XLA path remains for the rest). Channel
+    and mode counts are bounded to keep the unrolled kernel body and its
+    VMEM blocks sane — spec-legal extremes (255 channels, 64 modes) fall
+    back to the XLA path."""
+    if not (cs.has_floor1 and not cs.has_floor0
             and cs.static_coupling is not None
             and cs.w_eff % 128 == 0 and cs.w_eff >= 128
-            and (cs.w_eff * cs.channels) % 128 == 0)
+            and (cs.w_eff * cs.channels) % 128 == 0):
+        return False
+    M = cs.f1_step.shape[1] // (cs.max_posts + 1)
+    return (cs.channels <= 8 and M * (cs.max_posts + 1) <= 2048
+            and cs.channels * cs.w_eff <= 16384)
 
 
 def _fdiv(x, y):

@@ -43,10 +43,11 @@ MAX_ROWS = 128  # packets per grid step (s16 sublane tile is 16;
 #   bigger blocks amortize per-step overhead — measured 16->128: +15%)
 
 
-def pallas_overlap_supported(n0: int, n1: int, T: int) -> bool:
-    """Lane-alignment envelope for the kernel (else use the XLA path)."""
+def pallas_overlap_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
+    """Lane-alignment + VMEM envelope for the kernel (else the XLA path)."""
     outw = 3 * n1 // 4
-    return n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
+    return (n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
+            and C <= 16)
 
 
 def _kernel(*refs, n0, n1, R, has_short, has_prev_view):
