@@ -161,6 +161,12 @@ class F1Spec:
     partition_size: int = 16
     #: subclass book slot 0 absent (book=-1 -> raw zero y) when True
     absent_subclass_book: bool = False
+    #: stereo with TWO submaps (mux ch0->submap0, ch1->submap1), two
+    #: floors with different post positions and two residues with
+    #: different ends — exercises the mapping mux path no encoder emits
+    two_submaps: bool = False
+    xs2: tuple = (8, 24, 40, 72, 104, 120)
+    residue_end2: int = 48
 
 
 def _res_cb(spec: F1Spec) -> CB:
@@ -197,7 +203,7 @@ def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
     # --- ident ---
     w = BitWriter().write_bytes(b"\x01vorbis")
     w.write_bits(0, 32)
-    w.write_bits(1, 8)  # mono
+    w.write_bits(2 if spec.two_submaps else 1, 8)
     w.write_bits(spec.rate, 32)
     for _ in range(3):
         w.write_bits(0, 32)
@@ -226,45 +232,68 @@ def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
         write_codebook(w, cb)
     w.write_bits(0, 6)  # time count - 1
     w.write_bits(0, 16)  # time transform 0
-    w.write_bits(0, 6)  # floor count - 1
-    w.write_bits(1, 16)  # floor type 1
-    w.write_bits(2, 5)  # partitions
-    w.write_bits(0, 4)  # partition 0 class
-    w.write_bits(0, 4)  # partition 1 class
-    # class 0: dim 3, subclasses 1 (cbits=1) -> masterbook decodes cval<8
-    w.write_bits(3 - 1, 3)
-    w.write_bits(1, 2)
-    w.write_bits(0, 8)  # masterbook = codebook 0
-    # subclass books (2^1 = 2 entries, +1 encoding; 0 means absent)
-    w.write_bits(0 if spec.absent_subclass_book else 2, 8)  # slot 0
-    w.write_bits(2, 8)  # slot 1 -> codebook 1
-    w.write_bits(spec.multiplier - 1, 2)
-    w.write_bits(spec.rangebits, 4)
-    for x in spec.xs:
-        assert 0 < x < (1 << spec.rangebits)
-        w.write_bits(x, spec.rangebits)
-    # residue
-    w.write_bits(0, 6)  # residue count - 1
-    w.write_bits(1, 16)  # type 1
-    w.write_bits(0, 24)  # begin
-    w.write_bits(spec.residue_end, 24)
-    w.write_bits(spec.partition_size - 1, 24)
-    w.write_bits(2 - 1, 6)  # classifications
-    w.write_bits(2, 8)  # classbook = codebook 2
-    w.write_bits(0, 3)  # class 0 cascade: no books
-    w.write_flag(False)
-    w.write_bits(1, 3)  # class 1 cascade: pass-0 book
-    w.write_flag(False)
-    w.write_bits(3, 8)  # class 1 pass 0 -> codebook 3
+
+    def write_floor(xs):
+        w.write_bits(1, 16)  # floor type 1
+        w.write_bits(2, 5)  # partitions
+        w.write_bits(0, 4)  # partition 0 class
+        w.write_bits(0, 4)  # partition 1 class
+        # class 0: dim 3, subclasses 1 (cbits=1) -> masterbook cval < 8
+        w.write_bits(3 - 1, 3)
+        w.write_bits(1, 2)
+        w.write_bits(0, 8)  # masterbook = codebook 0
+        # subclass books (2^1 = 2 entries, +1 encoding; 0 means absent)
+        w.write_bits(0 if spec.absent_subclass_book else 2, 8)  # slot 0
+        w.write_bits(2, 8)  # slot 1 -> codebook 1
+        w.write_bits(spec.multiplier - 1, 2)
+        w.write_bits(spec.rangebits, 4)
+        for x in xs:
+            assert 0 < x < (1 << spec.rangebits)
+            w.write_bits(x, spec.rangebits)
+
+    def write_residue(end):
+        w.write_bits(1, 16)  # type 1
+        w.write_bits(0, 24)  # begin
+        w.write_bits(end, 24)
+        w.write_bits(spec.partition_size - 1, 24)
+        w.write_bits(2 - 1, 6)  # classifications
+        w.write_bits(2, 8)  # classbook = codebook 2
+        w.write_bits(0, 3)  # class 0 cascade: no books
+        w.write_flag(False)
+        w.write_bits(1, 3)  # class 1 cascade: pass-0 book
+        w.write_flag(False)
+        w.write_bits(3, 8)  # class 1 pass 0 -> codebook 3
+
+    nsub = 2 if spec.two_submaps else 1
+    w.write_bits(nsub - 1, 6)  # floor count - 1
+    write_floor(spec.xs)
+    if spec.two_submaps:
+        write_floor(spec.xs2)
+    w.write_bits(nsub - 1, 6)  # residue count - 1
+    write_residue(spec.residue_end)
+    if spec.two_submaps:
+        write_residue(spec.residue_end2)
     # mapping
     w.write_bits(0, 6)
     w.write_bits(0, 16)
-    w.write_flag(False)  # 1 submap
-    w.write_flag(False)  # no coupling
-    w.write_bits(0, 2)
-    w.write_bits(0, 8)  # time
-    w.write_bits(0, 8)  # submap floor
-    w.write_bits(0, 8)  # submap residue
+    if spec.two_submaps:
+        w.write_flag(True)
+        w.write_bits(nsub - 1, 4)
+        w.write_flag(False)  # no coupling
+        w.write_bits(0, 2)
+        w.write_bits(0, 4)  # mux: ch0 -> submap 0
+        w.write_bits(1, 4)  # mux: ch1 -> submap 1
+        for sm in range(nsub):
+            w.write_bits(0, 8)  # time
+            w.write_bits(sm, 8)  # submap floor
+            w.write_bits(sm, 8)  # submap residue
+    else:
+        w.write_flag(False)  # 1 submap
+        w.write_flag(False)  # no coupling
+        w.write_bits(0, 2)
+        w.write_bits(0, 8)  # time
+        w.write_bits(0, 8)  # submap floor
+        w.write_bits(0, 8)  # submap residue
     # modes
     if spec.two_modes:
         w.write_bits(1, 6)  # 2 modes
@@ -424,6 +453,10 @@ VARIANTS = {
                       residue_end=64),  # end > n/2: begin/end clamp
     "f1_bs8192": F1Spec(bs0_exp=13, bs1_exp=13, two_modes=False,
                         residue_end=512, partition_size=32),
+    # stereo, TWO submaps: mux ch0->submap0/floorA/residueA,
+    # ch1->submap1/floorB/residueB (different post layouts and ends) —
+    # the mapping mux path (spec 4.2.4.2) no real encoder emits
+    "f1_two_submaps": F1Spec(two_submaps=True),
 }
 
 
