@@ -760,19 +760,11 @@ class StreamDecoder:
         if self._native is not None:
             fr = out if out is not None \
                 else self._native.frame_buffers(self.chunk, lead=(S,))
-
-            def work(s):
-                view = {k: v[s] for k, v in fr.items()}
-                self._native.decode_chunk(streams[s], self.chunk, out=view)
-
-            if threads > 1 and S > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(min(threads, S)) as ex:
-                    list(ex.map(work, range(S)))
-            else:
-                for s in range(S):
-                    work(s)
+            # one native call for the whole batch (native std::thread
+            # workers when multi-core): the per-stream Python marshaling
+            # measured ~25% of front-end wall time
+            self._native.decode_chunk_batch(streams, self.chunk, fr,
+                                            threads=threads)
             return fr
         frs = [self.entropy_chunk(pcks) for pcks in streams]
         stacked = {k: np.stack([f[k] for f in frs]) for k in frs[0]}

@@ -57,6 +57,18 @@ def _load():
         C.c_void_p, u8p, u64p, u64p, C.c_int,
         i32p, u8p, u8p, u8p, i16p, u8p, i32p, u8p, f32p, f32p, C.c_int,
     ]
+    lib.lt_decode_chunk_batch.restype = C.c_int
+    lib.lt_decode_chunk_batch.argtypes = [
+        C.c_void_p, u8p, u64p, u64p, i32p, C.c_int, C.c_int,
+        i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p, C.c_int,
+        C.c_int,
+    ]
+    lib.lt_decode_chunk_batch_i16.restype = C.c_int
+    lib.lt_decode_chunk_batch_i16.argtypes = [
+        C.c_void_p, u8p, u64p, u64p, i32p, C.c_int, C.c_int,
+        i32p, u8p, u8p, u8p, i16p, u8p, i32p, u8p, f32p, f32p, C.c_int,
+        C.c_int,
+    ]
     lib.lt_decoder_new.restype = C.c_void_p
     lib.lt_decoder_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
                                    C.c_char_p, C.c_size_t]
@@ -224,6 +236,57 @@ class NativeStream:
         )
         fr["valid"][:n] = status[:n] == 0
         return fr, status
+
+    def decode_chunk_batch(self, streams: list[list[bytes]], chunk: int,
+                           out: dict, threads: int = 1) -> "np.ndarray":
+        """Entropy-decode a whole stream batch with ONE native call
+        (per-stream Python marshaling measured ~25% of front-end time).
+        ``out`` must be a frame-buffer dict with lead (S,); returns the
+        status array [S, T]. Tail slots (t >= len(streams[s])) keep stale
+        contents — ``valid`` masks them, and is set here."""
+        S, T = len(streams), chunk
+        status = np.zeros((S, T), np.uint8)
+        chunks: list[bytes] = []
+        offs = np.zeros(S * T, np.uint64)
+        lens = np.zeros(S * T, np.uint64)
+        counts = np.zeros(S, np.int32)
+        pos = 0
+        for s, packets in enumerate(streams):
+            n = min(len(packets), T)
+            counts[s] = n
+            if not n:
+                continue
+            chunks.extend(packets[:n])
+            ln = np.fromiter(map(len, packets[:n]), np.uint64, n)
+            lens[s * T : s * T + n] = ln
+            o = offs[s * T : s * T + n]
+            o[0] = pos
+            if n > 1:
+                o[1:] = pos + np.cumsum(ln[:-1])
+            pos += int(ln.sum())
+        buf = np.frombuffer(b"".join(chunks), dtype=np.uint8) if pos else \
+            np.zeros(1, np.uint8)
+        u8v = lambda a: a.view(np.uint8)  # noqa: E731
+        if out["residue"].dtype == np.int16:
+            fn, rptr = self._lib.lt_decode_chunk_batch_i16, _ptr(
+                out["residue"], C.c_int16)
+        else:
+            fn, rptr = self._lib.lt_decode_chunk_batch, _ptr(
+                out["residue"], C.c_float)
+        fn(
+            self._h, _u8(buf), _ptr(offs, C.c_uint64), _ptr(lens, C.c_uint64),
+            _ptr(counts, C.c_int32), S, T,
+            _ptr(out["mode"], C.c_int32), _u8(u8v(out["prev_flag"])),
+            _u8(u8v(out["next_flag"])), _u8(status),
+            rptr, _u8(u8v(out["f_used"])),
+            _ptr(out["f1_ys"], C.c_int32), _u8(u8v(out["f1_flags"])),
+            _ptr(out["f0_cosc"], C.c_float), _ptr(out["f0_amp"], C.c_float),
+            int(self.frame_width), int(threads),
+        )
+        valid = status == 0
+        valid[np.arange(T)[None, :] >= counts[:, None]] = False
+        out["valid"][...] = valid
+        return status
 
 
 class NativeDecoder:
