@@ -166,6 +166,26 @@ def check_conformance(args) -> None:
         worst = max(worst, int(d.max()))
         bad += int((d > 2).sum())
         print(f"  {name}: maxdiff {int(d.max())}, >2: {int((d > 2).sum())}")
+    # crafted adversarial streams (tools/craft.py): escape posts, extreme
+    # codebooks, blocksize extremes, submap mux — these drive the device
+    # floor/overlap kernels at their integer-range corners, which CPU
+    # interpret-mode tests cannot see
+    from tools import vorbisref as vr
+    from tools.craft import VARIANTS, build_stream
+    import tempfile
+
+    for name, spec in sorted(VARIANTS.items()):
+        data = build_stream(spec)
+        with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+            f.write(data)
+            f.flush()
+            g = vr.decode_file_i16(f.name)
+        out = OggStreamReader(data, backend="jax").read_all_i16()
+        d = np.abs(out.astype(np.int32) - g.astype(np.int32))
+        worst = max(worst, int(d.max()))
+        bad += int((d > 2).sum())
+        print(f"  crafted/{name}: maxdiff {int(d.max())}, "
+              f">2: {int((d > 2).sum())}")
     print(_json.dumps({
         "metric": "conformance_max_lsb_diff",
         "value": worst,

@@ -37,6 +37,25 @@ __all__ = [
 BIG_X = jnp.int32(1 << 24)  # sentinel "no post here" x position
 
 
+def floor1_db_value(idx: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-dB table value for integer-valued f32 idx in [0, 255],
+    evaluated as HI[idx >> 4] * LO[idx & 15] via 32 fused compare-selects
+    (tables.floor1_db_two_factor, max 2 ulp). Replaces the closed-form
+    exp(), which is ~51 ulp off on the TPU VPU — up to 11 i16 LSB on
+    full-scale adversarial spectra (crafted on-chip conformance)."""
+    from ..tables import floor1_db_two_factor
+
+    HI, LO = floor1_db_two_factor()
+    ih = jnp.floor(idx * jnp.float32(1.0 / 16.0))
+    il = idx - ih * jnp.float32(16.0)
+    hi = jnp.float32(HI[0]) * jnp.ones_like(idx)
+    lo = jnp.float32(LO[0]) * jnp.ones_like(idx)
+    for j in range(1, 16):
+        hi = jnp.where(ih == j, jnp.float32(HI[j]), hi)
+        lo = jnp.where(il == j, jnp.float32(LO[j]), lo)
+    return hi * lo
+
+
 def floor1_curve_batch(
     xs: jnp.ndarray,  # i32 [T, C, P] post x positions, sorted ascending, pad BIG_X
     ys: jnp.ndarray,  # i32 [T, C, P] final_y in the same sorted order
@@ -87,11 +106,9 @@ def floor1_curve_batch(
     # the reference's horizontal tail (render_line(hx, hy, n2, hy)).
     y = lo_y + base * d + jnp.sign(dy) * k
     idx = jnp.clip(y, 0, 255)
-    # inverse-dB "lookup" as exp (exact to ~1 ulp; a real gather at this
-    # width is ~10x slower on TPU than the fused exp)
-    return jnp.exp(
-        idx.astype(jnp.float32) * jnp.float32(db_c1) + jnp.float32(db_c0)
-    )
+    # inverse-dB lookup as a two-factor product (max 2 ulp; a real gather
+    # at this width is ~10x slower on TPU, and exp is ~51 ulp off there)
+    return floor1_db_value(idx.astype(jnp.float32))
 
 
 def floor1_telescopes(
@@ -257,7 +274,7 @@ def floor1_render(brackets, db_c0: float, db_c1: float):
     k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
     y = lo_y + base * d + sgn * k
     idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-    return jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
+    return floor1_db_value(idx)
 
 
 def floor1_step_matrix(f1_xs: "np_like", width: int):

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .floor_curve import floor1_db_value
+
 __all__ = ["floor_spectra_pallas", "pallas_floor_supported"]
 
 MAX_ROWS = 64  # packets per grid step: 4 telescopes x 2 limbs x 64 = 512 MXU rows (measured best)
@@ -126,7 +128,7 @@ def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
         k = q1 * one64 + _fdiv(r1 * one64 + d * al, adx)
         y = lo_y + base * d + sgn * k
         idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-        curve = jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
+        curve = floor1_db_value(idx)
         used = sc_ref[:, 1 + c : 2 + c]  # f32 0/1
         curves.append(curve * used)
         r = res_ref[:, c * W : (c + 1) * W]

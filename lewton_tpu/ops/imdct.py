@@ -22,13 +22,46 @@ import jax.numpy as jnp
 __all__ = ["imdct_batch", "imdct_batch_parts", "imdct_batch_parts_ct"]
 
 
-#: matmul precision for the transform. On TPU: "high" = 3-pass bf16
-#: (default: passes the +/-2 i16 LSB on-chip conformance incl. the impulse
-#: stress vectors at worst-case 2), "highest" = 6-pass bf16 (~f32, 1.9x
-#: slower, worst-case 1), "default" = 1-pass bf16 (FAILS conformance, ~120
-#: LSB — do not use). Re-verify with `python bench.py --check` on the real
-#: chip after changing; CPU tests cannot see bf16 effects.
+#: matmul precision for the transform. On TPU:
+#:   "high" (default) = 3-pass bf16 PLUS the dropped low x low limb term
+#:     as a 4th 1-pass bf16 GEMM. Plain HIGH's error is ~2^-16*sqrt(K)*|x|
+#:     — up to 11 i16 LSB on full-scale adversarial spectra (crafted
+#:     bs8192 vector, caught by the on-chip crafted conformance gate);
+#:     the correction term's own rounding is ~2^-24 relative, f32-grade,
+#:     for ~1/3 the MXU cost of one more HIGH pass.
+#:   "high3" = plain 3-pass bf16 (old default; corpus-clean, adversarial
+#:     content can exceed +/-2). "highest" = 6-pass (~f32, slowest).
+#:   "default" = 1-pass bf16 (FAILS conformance by ~120 LSB — never use).
+#: Re-verify with `python bench.py --check` on the real chip after
+#: changing; CPU tests cannot see bf16 effects.
 PRECISION = "high"
+
+
+def imdct_einsum(eq: str, spectra: jnp.ndarray, m: jnp.ndarray,
+                 precision: str | None = None) -> jnp.ndarray:
+    """The IMDCT contraction at the module's precision policy (see
+    PRECISION). All device IMDCT paths (batch, parts, ct, tp-sharded)
+    funnel through here so the knob stays single-sourced."""
+    p = PRECISION if precision is None else precision
+    if p == "high" and jax.default_backend() == "tpu":
+        # only the TPU's bf16 HIGH actually drops the low x low term; on
+        # CPU the einsum is f32-exact and adding it would double-count
+        hi = jnp.einsum(eq, spectra, m,
+                        precision=jax.lax.Precision.HIGH,
+                        preferred_element_type=jnp.float32)
+        # the A_lo @ B_lo term HIGH drops: operands are the bf16
+        # round-off residuals; their own 1-pass rounding is 2^-8 relative
+        # to a 2^-16-scale term => ~2^-24 total, well inside +/-2 LSB
+        lo_s = spectra - spectra.astype(jnp.bfloat16).astype(jnp.float32)
+        lo_m = m - m.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = jnp.einsum(eq, lo_s, lo_m,
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        return hi + lo
+    return jnp.einsum(eq, spectra, m,
+                      precision=jax.lax.Precision("high" if p == "high3"
+                                                  else p),
+                      preferred_element_type=jnp.float32)
 
 
 def imdct_batch_parts(
@@ -42,18 +75,10 @@ def imdct_batch_parts(
     The fused overlap kernel (ops/overlap_kernel.py) selects per packet
     in VMEM; keeping the select out of XLA avoids a full [T, C, n1]
     relayout pass between the GEMM and the Pallas custom-call."""
-    prec = jax.lax.Precision(PRECISION)
-    long_out = jnp.einsum(
-        "tck,kn->tcn", spectra, m1, precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    long_out = imdct_einsum("tck,kn->tcn", spectra, m1)
     if m0.shape[1] == m1.shape[1]:
         return long_out, None
-    short_out = jnp.einsum(
-        "tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0,
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    short_out = imdct_einsum("tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0)
     return long_out, short_out
 
 
@@ -68,18 +93,10 @@ def imdct_batch(
     """Returns f32 [T, C, n1]; short-block outputs occupy [:, :, :n0]."""
     n0 = m0.shape[1]
     n1 = m1.shape[1]
-    prec = jax.lax.Precision(PRECISION)
-    long_out = jnp.einsum(
-        "tck,kn->tcn", spectra, m1, precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    long_out = imdct_einsum("tck,kn->tcn", spectra, m1)
     if n0 == n1:
         return long_out
-    short_out = jnp.einsum(
-        "tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0,
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    short_out = imdct_einsum("tck,kn->tcn", spectra[:, :, : m0.shape[0]], m0)
     pad = [(0, 0), (0, 0), (0, n1 - n0)]
     short_out = jnp.pad(short_out, pad)
     return jnp.where((blockflag == 1)[:, None, None], long_out, short_out)
@@ -95,16 +112,9 @@ def imdct_batch_parts_ct(
     outputs in the layout the overlap kernel reads as a bitcast — no
     relayout copies anywhere on the i16 fast path. Same contraction per
     output element, so numerics match imdct_batch_parts exactly."""
-    prec = jax.lax.Precision(PRECISION)
-    long_out = jnp.einsum(
-        "ctk,kn->ctn", spectra_ct, m1, precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    long_out = imdct_einsum("ctk,kn->ctn", spectra_ct, m1)
     if m0.shape[1] == m1.shape[1]:
         return long_out, None
-    short_out = jnp.einsum(
-        "ctk,kn->ctn", spectra_ct[:, :, : m0.shape[0]], m0,
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    short_out = imdct_einsum("ctk,kn->ctn",
+                             spectra_ct[:, :, : m0.shape[0]], m0)
     return long_out, short_out

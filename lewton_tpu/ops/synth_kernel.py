@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .floor_curve import floor1_db_value
+
 __all__ = ["fused_floor_couple"]
 
 
@@ -64,7 +66,7 @@ def _kernel(br_ref, res_ref, used_ref, out_ref, *, C, W, steps, db_c0, db_c1):
         k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
         y = lo_y + base * d + sgn * k
         idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-        curve = jnp.exp(idx * jnp.float32(db_c1) + jnp.float32(db_c0))
+        curve = floor1_db_value(idx)
         used = used_ref[:, c][:, None]  # f32 0/1
         curves.append(curve * used)
 

@@ -83,19 +83,15 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
     `ops.imdct.PRECISION` knob (the partial products are f32 accumulations
     of the same terms, so the split does not loosen the error bound).
     """
-    from ..ops import imdct as _imdct_mod
+    from ..ops.imdct import imdct_einsum
 
-    prec = jax.lax.Precision(_imdct_mod.PRECISION)
     ti = jax.lax.axis_index(axis)
     n0, n1 = m0.shape[1], m1.shape[1]
     w = m1.shape[0]
     wk = w // ntp
     sl = jax.lax.dynamic_slice_in_dim(spectra, ti * wk, wk, axis=2)
     m1k = jax.lax.dynamic_slice_in_dim(m1, ti * wk, wk, axis=0)
-    long_out = jnp.einsum(
-        "tck,kn->tcn", sl, m1k, precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    long_out = imdct_einsum("tck,kn->tcn", sl, m1k)
     if n0 != n1:
         w0 = m0.shape[0]
         w0k = max(w0 // ntp, 1)
@@ -106,10 +102,7 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
         m0k = jax.lax.dynamic_slice_in_dim(
             m0, jnp.minimum(ti * w0k, w0 - w0k), w0k, axis=0
         )
-        short_out = jnp.einsum(
-            "tck,kn->tcn", s0, m0k, precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        short_out = imdct_einsum("tck,kn->tcn", s0, m0k)
         short_out = jnp.where(ti * w0k <= w0 - w0k, short_out, 0.0)
         short_out = jnp.pad(short_out, [(0, 0), (0, 0), (0, n1 - n0)])
         partial_out = jnp.where((bf == 1)[:, None, None], long_out, short_out)

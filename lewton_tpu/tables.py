@@ -116,3 +116,43 @@ def bark_cos_omega(n2: int, rate: int, bark_map_size: int) -> np.ndarray:
     res = res.astype(np.float32)
     res.setflags(write=False)
     return res
+
+
+def floor1_db_two_factor():
+    """The 256-entry inverse-dB table as an exact-ish two-factor product:
+    table[i] ~= HI[i >> 4] * LO[i & 15], max 2 ulp over all 256 entries
+    (f32 product rounding; the anchors HI[16j] = table[16j] are exact and
+    each LO[k] is ulp-searched to minimize the column's max error).
+
+    Exists because the closed-form exp() evaluation is ~51 ulp off ON TPU
+    (VPU transcendental, measured) — fine for musical content, but up to
+    11 i16 LSB after full-scale adversarial spectra accumulate through
+    the IMDCT (caught by the crafted on-chip conformance gate). A real
+    gather is ~10x slower on TPU than 32 fused compare-selects.
+
+    Returns (HI[16], LO[16]) float32. Deterministic.
+    """
+    t = np.asarray(floor1_inverse_db_table(), dtype=np.float32)
+    td = t.astype(np.float64)
+    hi = t[::16].astype(np.float32)
+
+    def bump(x, step):
+        if step == 0:
+            return x
+        return np.int32(x.view(np.int32) + step).view(np.float32)
+
+    lo = np.zeros(16, np.float32)
+    for k in range(16):
+        base = np.float32(np.mean([td[16 * j + k] / td[16 * j]
+                                   for j in range(16)]))
+        tgt = t[np.arange(16) * 16 + k]
+        cands = []
+        for step in range(-4, 5):
+            c = bump(base, step)
+            prod = (hi * np.float32(c)).astype(np.float32)
+            ul = np.abs(prod.view(np.int32).astype(np.int64)
+                        - tgt.view(np.int32).astype(np.int64))
+            cands.append((int(ul.max()), int(ul.sum()), float(c)))
+        cands.sort(key=lambda x: (x[0], x[1]))
+        lo[k] = np.float32(cands[0][2])
+    return hi, lo
