@@ -41,7 +41,8 @@ from ..ops.floor_curve import (
 
 from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import (imdct_batch, imdct_batch_parts,
-                         imdct_batch_parts_ct)
+                         imdct_batch_parts_ct, dct4_batch_parts_ct,
+                         dct4_from_imdct)
 from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_batch, overlap_add_i16_batch,
                              overlap_add_i16_kernel_batch)
@@ -598,7 +599,22 @@ def decode_frames_core(
         # kernel's spectra, the IMDCT GEMM (ctk,kn->ctn), and the overlap
         # kernel's inputs all share one physical layout, so every hop is a
         # bitcast (the [T, C, *] order costs a 235 MB relayout at the GEMM)
+        from ..ops.overlap_kernel import pallas_x_rep_supported
+
         spectra_ct, bf = _synthesize_spectra_ct(cs, fr)
+        if pallas_x_rep_supported(cs.n0, cs.n1, T, cs.channels):
+            # half-width form: the GEMM emits only the n/2 distinct
+            # DCT-IV values per transform (33% less MXU work at matched
+            # precision); the overlap kernel mirror-expands in VMEM
+            long_a, short_a = dct4_batch_parts_ct(
+                spectra_ct, dct4_from_imdct(cs.imdct_m0),
+                dct4_from_imdct(cs.imdct_m1))
+            audio = (long_a, short_a) if short_a is not None else long_a
+            return overlap_add_i16_kernel_batch(
+                audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],
+                cs.slope0, cs.slope1, cs.n0, cs.n1, carry, ct_in=True,
+                x_rep=True,
+            )
         long_a, short_a = imdct_batch_parts_ct(
             spectra_ct, cs.imdct_m0, cs.imdct_m1)
         audio = (long_a, short_a) if short_a is not None else long_a

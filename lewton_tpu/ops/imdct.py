@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["imdct_batch", "imdct_batch_parts", "imdct_batch_parts_ct"]
+__all__ = ["imdct_batch", "imdct_batch_parts", "imdct_batch_parts_ct",
+           "dct4_batch_parts_ct"]
 
 
 #: matmul precision for the transform. On TPU:
@@ -122,3 +123,50 @@ def imdct_batch_parts_ct(
     short_out = imdct_einsum("ctk,kn->ctn",
                              spectra_ct[:, :, : m0.shape[0]], m0)
     return long_out, short_out
+
+
+def dct4_from_imdct(m: jnp.ndarray) -> jnp.ndarray:
+    """[K, n] IMDCT cosine matrix -> [K, n/2] DCT-IV matrix whose columns
+    are (sign-flipped) copies of the IMDCT matrix's columns, so the
+    X-representation path reconstructs BIT-identical audio:
+    X[m] = audio[m - M/2] for m >= M/2, X[m] = -audio[3M/2 + m] below.
+    A ~2 MB concat at trace time; negligible next to the GEMM it feeds."""
+    n = m.shape[1]
+    M = n // 2
+    return jnp.concatenate([-m[:, 3 * M // 2 :], m[:, : M // 2]], axis=1)
+
+
+def dct4_batch_parts_ct(
+    spectra_ct: jnp.ndarray,  # f32 [C, T, n1/2] (channel-major)
+    mx0: jnp.ndarray,  # f32 [<=n0/2, n0/2] DCT-IV matrix, short blocks
+    mx1: jnp.ndarray,  # f32 [<=n1/2, n1/2] DCT-IV matrix, long blocks
+):
+    """Half-width IMDCT: emit only the n/2 DISTINCT values per transform.
+
+    The IMDCT output (length n) is a signed mirror arrangement of the
+    DCT-IV of the spectra (length M = n/2):
+
+        audio[0:M/2]    =  X[M/2:M]
+        audio[M/2:3M/2] = -reverse(X)
+        audio[3M/2:2M]  = -X[0:M/2]
+
+    so the MXU GEMM only needs M output columns instead of the 3M/2 the
+    audio-form GEMM computes — a 33% FLOP/HBM cut at matched precision.
+    The overlap kernel (ops/overlap_kernel.py `x_rep`) reconstructs its
+    window regions from X in VMEM, reversing lanes with an exact
+    XOR-butterfly roll network (plain `jnp.flip` is unimplemented in
+    Mosaic and an XLA-side mirror expansion costs two full HBM passes —
+    measured 36.2k -> 29.1k when tried in round 2).
+
+    The matrices (see `models.decoder.dct4_matrix`) are column-permuted
+    sign-flips of `imdct_matrix`'s columns, so reconstructed audio is
+    BIT-identical to the full-width path. Ref: the mirror symmetry is
+    implicit in lewton's stb-derived schedule (src/imdct.rs:291-659),
+    which computes n/2 values and writes both mirrored halves.
+    """
+    long_x = imdct_einsum("ctk,km->ctm", spectra_ct, mx1)
+    if mx0.shape[1] == mx1.shape[1]:
+        return long_x, None
+    short_x = imdct_einsum("ctk,km->ctm",
+                           spectra_ct[:, :, : mx0.shape[0]], mx0)
+    return long_x, short_x

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["overlap_i16_pallas", "pallas_overlap_supported"]
+__all__ = ["overlap_i16_pallas", "pallas_overlap_supported",
+           "pallas_x_rep_supported"]
 
 MAX_ROWS = 128  # packets per grid step (s16 sublane tile is 16;
 #   bigger blocks amortize per-step overhead — measured 16->128: +15%)
@@ -48,6 +49,13 @@ def pallas_overlap_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
     outw = 3 * n1 // 4
     return (n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
             and C <= 16)
+
+
+def pallas_x_rep_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
+    """Extra gate for the half-width DCT-IV input form: the in-kernel
+    lane-reversal network wants the short transform length n0/2 to be at
+    least one full lane tile."""
+    return pallas_overlap_supported(n0, n1, T, C) and n0 >= 256
 
 
 def _kernel(*refs, n0, n1, R, has_short, has_prev_view):
@@ -159,6 +167,156 @@ def _kernel(*refs, n0, n1, R, has_short, has_prev_view):
         pwr_out_ref[0, 0, :] = jnp.sum(rr * pick, axis=0)
 
 
+def _rev_lanes(x, L: int):
+    """Exact reversal of the last dim (size L, power of two) inside a
+    kernel: j -> L-1-j == j XOR (L-1), decomposed into per-bit
+    XOR-exchanges, each a pair of circular rolls + select. Pure data
+    movement (no arithmetic), so the values are bit-identical to a host
+    flip; `jnp.flip`/lax.rev is unimplemented in Mosaic."""
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    b = 1
+    while b < L:
+        left = pltpu.roll(x, L - b, axis=x.ndim - 1)   # x[j + b]
+        right = pltpu.roll(x, b, axis=x.ndim - 1)      # x[j - b]
+        x = jnp.where((j & b) == 0, left, right)
+        b <<= 1
+    return x
+
+
+def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view):
+    """X-representation variant of :func:`_kernel`: inputs are the
+    half-width DCT-IV outputs (see ops/imdct.dct4_batch_parts_ct), and
+    every window region is reconstructed in VMEM from
+
+        audio[0:M/2] = X[M/2:M];  audio[M/2:3M/2] = -rev(X);
+        audio[3M/2:2M] = -X[0:M/2]          (M = n/2 per blocksize)
+
+    with the same selects, mix, masks and carry as the audio-form kernel
+    (bit-identical outputs, asserted by tests/test_overlap_kernel.py)."""
+    it = iter(refs)
+    xa_ref = next(it)
+    xb_ref = next(it) if has_prev_view else xa_ref
+    sa_ref = next(it) if has_short else None
+    sb_ref = (next(it) if has_prev_view else sa_ref) if has_short else None
+    sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = it
+    W = n1 // 2   # == M, the long DCT-IV length
+    outw = 3 * n1 // 4
+    ls = (n1 - n0) // 4
+    m = n0 // 2   # short DCT-IV length (== sw, the short overlap width)
+    M = W
+
+    use_s1 = sc_ref[:, 0:1]
+    use_r1 = sc_ref[:, 1:2]
+    ls_on = sc_ref[:, 2:3]
+    pl_is_l = sc_ref[:, 3:4]
+    pl_is_m = sc_ref[:, 4:5]
+    is_t0 = sc_ref[:, 5:6]
+    ov_len = sc_ref[:, 6:7]
+    out_len = sc_ref[:, 7:8]
+    bf = sc_ref[:, 8:9]
+    # (sc_ref col 12, the prev blockflag, is not needed here: the
+    # pl_is_l/pl_is_m candidate selects already encode it)
+
+    slope0 = sl_ref[0:1, :]
+    slope1 = sl_ref[1:2, :]
+    rev0 = sl_ref[2:3, :]
+    rev1 = sl_ref[3:4, :]
+    lhs = jnp.where(use_s1 > 0, slope1, slope0)
+    rhs = jnp.where(use_r1 > 0, rev1, rev0)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1).astype(jnp.float32)
+    iota_ow = jax.lax.broadcasted_iota(
+        jnp.int32, (R, outw), 1).astype(jnp.float32)
+
+    xc = xa_ref[0]                        # [R, M] current long X
+    xcr = _rev_lanes(xc, M)
+    # previous packet's X rows: last row of the block-shifted view for
+    # row 0, in-block neighbor otherwise (same structure as _kernel);
+    # the reversed form reuses xcr and reverses only the one extra row
+    xp_last = xb_ref[0, R - 1 : R, :]
+    xp = jnp.concatenate([xp_last, xc[: R - 1]], axis=0)
+    xpr = jnp.concatenate([_rev_lanes(xp_last, M), xcr[: R - 1]], axis=0)
+    if has_short:
+        xs = sa_ref[0]                    # [R, m] current short X
+        xsr = _rev_lanes(xs, m)
+        xsp_last = sb_ref[0, R - 1 : R, :]
+        xsp = jnp.concatenate([xsp_last, xs[: R - 1]], axis=0)
+        xspr = jnp.concatenate(
+            [_rev_lanes(xsp_last, m), xsr[: R - 1]], axis=0)
+
+    # ---- current row: a_cur = audio[ls or 0 : +outw] ----
+    audio0 = jnp.concatenate([xc[:, M // 2 :], -xcr], axis=1)   # [R, outw]
+    if ls:
+        audio_ls = jnp.concatenate(
+            [xc[:, M // 2 + ls :], -xcr, -xc[:, :ls]], axis=1)
+        a_long = jnp.where(ls_on > 0, audio_ls, audio0)
+    else:
+        a_long = audio0
+    if has_short:
+        a_short = jnp.concatenate(
+            [xs[:, m // 2 :], -xsr, -xs[:, : m // 2],
+             jnp.zeros((R, outw - 2 * m), jnp.float32)], axis=1)
+        a_cur = jnp.where(bf > 0, a_long, a_short)
+    else:
+        a_cur = a_long
+
+    # ---- previous row's right region (pwr candidates) ----
+    cand_l = jnp.concatenate(
+        [-xpr[:, M // 2 :], -xp[:, : M // 2]], axis=1)           # [R, W]
+    cand_m = jnp.concatenate(
+        [-xpr[:, M - m // 2 :], -xp[:, : m // 2]], axis=1)       # [R, m]
+    cand_s = (jnp.concatenate(
+        [-xspr[:, m // 2 :], -xsp[:, : m // 2]], axis=1)
+        if has_short else cand_m)
+    pwr_sm = jnp.where(pl_is_m > 0, cand_m, cand_s)
+    if m < W:
+        pwr_sm = jnp.concatenate(
+            [pwr_sm, jnp.zeros((R, W - m), jnp.float32)], axis=1)
+    pwr = jnp.where(pl_is_l > 0, cand_l, pwr_sm)
+    pwr = jnp.where(is_t0 > 0, pwr0_ref[0], pwr)
+
+    mix = jnp.where(iota_w < ov_len,
+                    a_cur[:, :W] * lhs + pwr * rhs, a_cur[:, :W])
+    full = jnp.concatenate([mix, a_cur[:, W:]], axis=1)
+    outf = jnp.where(iota_ow < out_len, full, jnp.float32(0.0))
+    scaled = outf * jnp.float32(32768.0)
+    clamped = jnp.clip(scaled, -32768.0, 32767.0)
+    out_ref[:, :] = jnp.trunc(clamped).astype(jnp.int16)
+
+    # ---- carry: right region of the chunk's last valid packet ----
+    valid = sc_ref[:, 9:10]
+    cur_is_l = sc_ref[:, 10:11]
+    cur_is_m = sc_ref[:, 11:12]
+    rr_l = jnp.concatenate(
+        [-xcr[:, M // 2 :], -xc[:, : M // 2]], axis=1)           # [R, W]
+    rr_m = jnp.concatenate(
+        [-xcr[:, M - m // 2 :], -xc[:, : m // 2]], axis=1)       # [R, m]
+    rr_s = (jnp.concatenate(
+        [-xsr[:, m // 2 :], -xs[:, : m // 2]], axis=1)
+        if has_short else rr_m)
+    rr_sm = jnp.where(cur_is_m > 0, rr_m, rr_s)
+    if m < W:
+        rr_sm = jnp.concatenate(
+            [rr_sm, jnp.zeros((R, W - m), jnp.float32)], axis=1)
+    rr = jnp.where(cur_is_l > 0, rr_l, rr_sm)
+
+    first_blk = sc_ref[0, 5] > 0
+
+    @pl.when(first_blk)
+    def _():
+        pwr_out_ref[0, 0, :] = pwr0_ref[0, 0, :]
+
+    nblk_valid = jnp.sum(valid)
+
+    @pl.when(nblk_valid > 0)
+    def _():
+        kstar = nblk_valid - jnp.float32(1.0)
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (R, 1), 0).astype(jnp.float32)
+        pick = jnp.where(iota_r == kstar, jnp.float32(1.0), jnp.float32(0.0))
+        pwr_out_ref[0, 0, :] = jnp.sum(rr * pick, axis=0)
+
+
 def overlap_i16_pallas(
     long_audio: jnp.ndarray,  # f32 [T, C, n1] long-block IMDCT output
     #   (or the pre-selected audio when `short_audio` is None)
@@ -169,9 +327,14 @@ def overlap_i16_pallas(
     n0: int,
     n1: int,
     ct_in: bool = False,
+    x_rep: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (i16 [T, C*outw] FLAT, pwr_out [C, W]).
+
+    With ``x_rep``, the audio inputs are the half-width DCT-IV outputs
+    ([.., n1/2] / [.., n0/2], see ops/imdct.dct4_batch_parts_ct) and the
+    kernel reconstructs the window regions in VMEM (``_kernel_x``).
 
     The output stays flat: splitting [C*outw] -> [C, outw] on device
     re-tiles the s16 array (~1.7 ms/chunk at S=256); callers reshape the
@@ -195,23 +358,25 @@ def overlap_i16_pallas(
     Tp = T + pad
     has_short = short_audio is not None
     has_prev_view = Tp > R  # single-block chunks need no shifted view
-    kern = functools.partial(_kernel, n0=n0, n1=n1, R=R, has_short=has_short,
+    kern = functools.partial(_kernel_x if x_rep else _kernel, n0=n0, n1=n1,
+                             R=R, has_short=has_short,
                              has_prev_view=has_prev_view)
+    w1, w0 = (n1 // 2, n0 // 2) if x_rep else (n1, n0)
     spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
     spec_prev = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, jnp.maximum(i - 1, 0), 0),
         memory_space=pltpu.VMEM)
-    in_specs = [spec_cur(n1)]
+    in_specs = [spec_cur(w1)]
     args = [long_audio]
     if has_prev_view:
-        in_specs += [spec_prev(n1)]
+        in_specs += [spec_prev(w1)]
         args += [long_audio]
     if has_short:
-        in_specs += [spec_cur(n0)]
+        in_specs += [spec_cur(w0)]
         args += [short_audio]
         if has_prev_view:
-            in_specs += [spec_prev(n0)]
+            in_specs += [spec_prev(w0)]
             args += [short_audio]
     in_specs += [
         pl.BlockSpec((R, scal.shape[1]), lambda c, i: (i, 0),

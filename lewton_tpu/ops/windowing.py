@@ -151,7 +151,7 @@ def overlap_add_batch(
 
 def overlap_add_i16_kernel_batch(
     audio, blockflag, prev_flag, next_flag, valid, slope0, slope1,
-    n0: int, n1: int, carry, ct_in: bool = False,
+    n0: int, n1: int, carry, ct_in: bool = False, x_rep: bool = False,
     interpret: bool = False,
 ):
     """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
@@ -205,7 +205,7 @@ def overlap_add_i16_kernel_batch(
     # the pwr carry comes out of the kernel (an outside dynamic_index on
     # the audio would force XLA to relayout the whole tensor)
     out, pwr_out = overlap_i16_pallas(long_a, short_a, scal, slopes, pwr0,
-                                      n0, n1, ct_in=ct_in,
+                                      n0, n1, ct_in=ct_in, x_rep=x_rep,
                                       interpret=interpret)
 
     nvalid = jnp.sum(valid.astype(jnp.int32))

@@ -158,6 +158,51 @@ def test_pallas_kernel_parts_variant():
             assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_pallas_kernel_x_rep_variant():
+    """Half-width DCT-IV inputs (x_rep=True): the kernel mirror-expands
+    audio[0:M/2]=X[M/2:], audio[M/2:3M/2]=-rev(X), audio[3M/2:]=-X[:M/2]
+    in VMEM. Audio built from random X by the same identity must match
+    the XLA reference path bit for bit (reversal is pure data movement)."""
+    rng = np.random.default_rng(4)
+    s0, s1 = _slopes()
+    M, m = N1 // 2, N0 // 2
+
+    def mirror(x):  # [T, C, M'] -> [T, C, 2M'] audio
+        h = x.shape[-1] // 2
+        return np.concatenate([x[..., h:], -x[..., ::-1], -x[..., :h]],
+                              axis=-1)
+
+    for T in (16, 48):
+        (_, bf, pf, nf, v), carry = _rand_case(rng, T)
+        if T == 48:
+            bfm = np.ones(T, np.int32)
+            bfm[::3] = 0
+            bf = jnp.asarray(bfm)
+            v = jnp.asarray(np.ones(T, bool))
+        x1 = (rng.standard_normal((T, C, M)) * 0.5).astype(np.float32)
+        x0 = (rng.standard_normal((T, C, m)) * 0.5).astype(np.float32)
+        long_a = jnp.asarray(mirror(x1))
+        short_a = jnp.asarray(mirror(x0))
+        audio = jnp.where((bf == 1)[:, None, None], long_a,
+                          jnp.pad(short_a, [(0, 0), (0, 0), (0, N1 - N0)]))
+        (out_f, len_f), car_f = jax.jit(
+            overlap_add_batch, static_argnums=(7, 8))(
+                audio, bf, pf, nf, v, s0, s1, N0, N1, carry)
+        ref = np.asarray(jnp.trunc(
+            jnp.clip(out_f * 32768.0, -32768.0, 32767.0)).astype(jnp.int16))
+        (out_k, len_k), car_k = jax.jit(
+            lambda la, sa, b, p, n, vv, c:
+            overlap_add_i16_kernel_batch(
+                (la, sa), b, p, n, vv, s0, s1, N0, N1, c, x_rep=True,
+                interpret=True)
+        )(jnp.asarray(x1), jnp.asarray(x0), bf, pf, nf, v, carry)
+        out_k = np.asarray(out_k).reshape(ref.shape)
+        assert np.abs(ref.astype(np.int32) - out_k.astype(np.int32)).max() <= 1
+        assert np.array_equal(np.asarray(len_f), np.asarray(len_k))
+        for x, y in zip(car_f, car_k):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_read_all_i16_jax_matches_f32_path(tmp_path):
     """read_all_i16 (device i16 path) vs to_i16(read_all_planar_f32)."""
     pytest.importorskip("lewton_tpu.native")
