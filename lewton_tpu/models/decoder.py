@@ -48,7 +48,6 @@ from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_i16_kernel_batch)
 from ..tables import (
     bark_cos_omega,
-    floor1_db_exp_constants,
     imdct_matrix,
     window_slope,
 )
@@ -80,7 +79,7 @@ def precompute_brackets(cs: "CompiledSetup", fr: dict) -> dict:
     flg = fr["f1_flags"].reshape((S * T,) + fr["f1_flags"].shape[2:])
     br = floor1_brackets_mxu(
         _by_mode(cs.f1_xs, mode), ys, flg, cs.f1_mult[mode], mode,
-        cs.f1_step, cs.db_c0, cs.db_c1, W,
+        cs.f1_step, W,
     )
     fr = dict(fr)
     fr["f1_brackets"] = tuple(
@@ -109,8 +108,6 @@ class CompiledSetup:
     #: `end` (per channel), so floors/coupling/IMDCT run at w_eff <= n1/2
     #: (padded to a lane multiple). Typical q3 stereo: 896 of 1024.
     w_eff: int
-    db_c0: float  # inverse-dB exp constants (tables.floor1_db_exp_constants)
-    db_c1: float
     #: coupling steps as a static tuple when identical across all modes
     #: (the common one-mapping case) — enables static-index coupling
     static_coupling: tuple | None
@@ -144,7 +141,7 @@ class CompiledSetup:
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
-        "has_floor0", "has_floor1", "w_eff", "db_c0", "db_c1",
+        "has_floor0", "has_floor1", "w_eff",
         "static_coupling", "residue_i16",
     )
 
@@ -280,7 +277,6 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
             w_eff = max(w_eff, per_ch)
     w_eff = min(W, max(128, -(-w_eff // 128) * 128))  # lane-align
 
-    db_c0, db_c1 = floor1_db_exp_constants()
     step_lists = {
         tuple(zip(setup.mappings[m.mapping].coupling_magnitude,
                   setup.mappings[m.mapping].coupling_angle))
@@ -294,7 +290,7 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
         has_floor0=bool(f0s), has_floor1=bool(f1s), w_eff=w_eff,
-        db_c0=db_c0, db_c1=db_c1, static_coupling=static_coupling,
+        static_coupling=static_coupling,
         residue_i16=residue_i16,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
@@ -418,7 +414,7 @@ def _floor_kernel_spectra(cs, fr, ct_out: bool = False):
     return floor_spectra_pallas(
         tele, fr["residue"], scal,
         cs.f1_step.astype(jnp.bfloat16), cs.static_coupling,
-        cs.db_c0, cs.db_c1, C, W, M, ct_out=ct_out,
+        C, W, M, ct_out=ct_out,
     )
 
 
@@ -485,11 +481,11 @@ def _synthesize_spectra_tapped(cs, fr, allow_fused: bool = True):
     if fused:
         br = fr.get("f1_brackets") or floor1_brackets_mxu(
             _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
-            cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
+            cs.f1_mult[mode], mode, cs.f1_step, W,
         )
         spectra = fused_floor_couple(
             jnp.stack(br, axis=1), fr["residue"][:, :, :W], fr["f_used"],
-            cs.static_coupling, cs.db_c0, cs.db_c1,
+            cs.static_coupling,
         )
         return spectra, bf, taps
 
@@ -498,9 +494,9 @@ def _synthesize_spectra_tapped(cs, fr, allow_fused: bool = True):
     if cs.has_floor1:
         br = fr.get("f1_brackets") or floor1_brackets_mxu(
             _by_mode(cs.f1_xs, mode), fr["f1_ys"], fr["f1_flags"],
-            cs.f1_mult[mode], mode, cs.f1_step, cs.db_c0, cs.db_c1, W,
+            cs.f1_mult[mode], mode, cs.f1_step, W,
         )
-        c1 = floor1_render(br, cs.db_c0, cs.db_c1)
+        c1 = floor1_render(br)
         curve = jnp.where(is_f1[:, :, None], c1, curve)
     if cs.has_floor0:
         c0 = floor0_curve_batch(

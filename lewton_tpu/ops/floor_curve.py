@@ -61,8 +61,6 @@ def floor1_curve_batch(
     ys: jnp.ndarray,  # i32 [T, C, P] final_y in the same sorted order
     flags: jnp.ndarray,  # bool [T, C, P] step2 flags in sorted order (pad False)
     mult: jnp.ndarray,  # i32 [T, C] floor multiplier
-    db_c0: float,  # inverse-dB table exp constants (tables.py)
-    db_c1: float,
     width: int,  # n1//2 (bins beyond the packet's n/2 are garbage-but-unused)
 ) -> jnp.ndarray:
     """Returns f32 [T, C, width] floor curve values (inverse-dB domain).
@@ -173,8 +171,6 @@ def floor1_brackets_mxu(
     mode: jnp.ndarray,  # i32 [T]
     step: jnp.ndarray,  # f32 [C, M*(P+1), W] static (xs[m,c,p] <= w),
     #                     pre-transposed GEMM layout (floor1_step_matrix)
-    db_c0: float,
-    db_c1: float,
     width: int,
 ) -> jnp.ndarray:
     """floor1 post-bracketing on the MXU -> [T, 4, C, W] brackets.
@@ -222,14 +218,13 @@ def floor1_brackets_mxu(
     return lo_x, lo_y, hi_x, hi_y
 
 
-def floor1_curve_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1, width):
+def floor1_curve_mxu(xs, ys, flags, mult, mode, step, width):
     """Unfused MXU floor1 curve: brackets + elementwise render."""
-    br = floor1_brackets_mxu(xs, ys, flags, mult, mode, step, db_c0, db_c1,
-                             width)
-    return floor1_render(br, db_c0, db_c1)
+    br = floor1_brackets_mxu(xs, ys, flags, mult, mode, step, width)
+    return floor1_render(br)
 
 
-def floor1_render(brackets, db_c0: float, db_c1: float):
+def floor1_render(brackets):
     """Elementwise finish of the MXU bracket search: Bresenham closed form
     + inverse-dB exp. brackets = 4-tuple of [T, C, W] f32 -> curve.
     (The fused Pallas path in ops/synth_kernel.py does this in-VMEM.)

@@ -72,7 +72,7 @@ def _fdiv(x, y):
 
 
 def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
-            C, W, P1, M, R, Kp, steps, db_c0, db_c1, ct_out):
+            C, W, P1, M, R, Kp, steps, ct_out):
     mode = sc_ref[:, 0:1]  # f32 [R, 1]
     binx_f = jax.lax.broadcasted_iota(
         jnp.int32, (R, W), 1).astype(jnp.float32)
@@ -160,8 +160,6 @@ def floor_spectra_pallas(
     scal: jnp.ndarray,  # f32 [T, 1+C]: mode, f_used per channel
     step: jnp.ndarray,  # bf16 [C, M*(P+1), W] 0/1 step matrix
     steps: tuple,  # static coupling (mag, ang) list
-    db_c0: float,
-    db_c1: float,
     C: int,
     W: int,
     M: int,
@@ -185,8 +183,7 @@ def floor_spectra_pallas(
         scal = jnp.pad(scal, [(0, pad), (0, 0)])
     Tp = T + pad
     kern = functools.partial(_kernel, C=C, W=W, P1=P1, M=M, R=R, Kp=Kp,
-                             steps=tuple(steps), db_c0=db_c0, db_c1=db_c1,
-                             ct_out=ct_out)
+                             steps=tuple(steps), ct_out=ct_out)
     out_shape = (jax.ShapeDtypeStruct((C, Tp, W), jnp.float32) if ct_out
                  else jax.ShapeDtypeStruct((Tp, C * W), jnp.float32))
     out_spec = (pl.BlockSpec((C, R, W), lambda i: (0, i, 0),

@@ -29,7 +29,7 @@ from .floor_curve import floor1_db_value
 __all__ = ["fused_floor_couple"]
 
 
-def _kernel(br_ref, res_ref, used_ref, out_ref, *, C, W, steps, db_c0, db_c1):
+def _kernel(br_ref, res_ref, used_ref, out_ref, *, C, W, steps):
     R = out_ref.shape[0]
     binx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
@@ -93,8 +93,6 @@ def fused_floor_couple(
     residue: jnp.ndarray,  # f32 [T, C, W]
     used: jnp.ndarray,  # bool [T, C]
     steps: tuple,  # static coupling (mag, ang) list
-    db_c0: float,
-    db_c1: float,
     rows: int = 32,  # VMEM budget: ~12 [rows, C*W] f32 temporaries < 16MB
 ) -> jnp.ndarray:
     """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue."""
@@ -104,8 +102,7 @@ def fused_floor_couple(
     rs = jnp.pad(residue.reshape(T, C * W), [(0, pad), (0, 0)])
     us = jnp.pad(used.astype(jnp.float32), [(0, pad), (0, 0)])
     grid = (br.shape[0] // rows,)
-    kern = functools.partial(_kernel, C=C, W=W, steps=tuple(steps),
-                             db_c0=db_c0, db_c1=db_c1)
+    kern = functools.partial(_kernel, C=C, W=W, steps=tuple(steps))
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((br.shape[0], C * W), jnp.float32),

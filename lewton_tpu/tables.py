@@ -28,7 +28,6 @@ __all__ = [
     "imdct_matrix",
     "bark_cos_omega",
     "floor1_inverse_db_table",
-    "floor1_db_exp_constants",
 ]
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
@@ -40,19 +39,6 @@ def floor1_inverse_db_table() -> np.ndarray:
     t = np.load(os.path.join(_DATA_DIR, "floor1_inverse_db.npy"))
     t.setflags(write=False)
     return t
-
-
-@functools.cache
-def floor1_db_exp_constants() -> tuple[float, float]:
-    """(c0, c1) such that exp(c1*i + c0) reproduces the 256-entry inverse-dB
-    table to ~1 ulp (max 8.3e-8 relative — the table is geometric; verified
-    against the spec constants). The device pipeline uses the exp form
-    because a 16M-element table gather is ~10x slower than fused exp on the
-    VPU; the numpy reference path keeps the exact table."""
-    t = floor1_inverse_db_table().astype(np.float64)
-    c1 = float(np.log(t[255] / t[0]) / 255.0)
-    c0 = float(np.log(t[0]))
-    return c0, c1
 
 
 @functools.cache
@@ -118,6 +104,7 @@ def bark_cos_omega(n2: int, rate: int, bark_map_size: int) -> np.ndarray:
     return res
 
 
+@functools.cache
 def floor1_db_two_factor():
     """The 256-entry inverse-dB table as an exact-ish two-factor product:
     table[i] ~= HI[i >> 4] * LO[i & 15], max 2 ulp over all 256 entries
@@ -155,4 +142,12 @@ def floor1_db_two_factor():
             cands.append((int(ul.max()), int(ul.sum()), float(c)))
         cands.sort(key=lambda x: (x[0], x[1]))
         lo[k] = np.float32(cands[0][2])
+    # regression gate: a future table edit must not silently widen the
+    # error past the documented 2-ulp contract
+    prod = (hi[:, None] * lo[None, :]).astype(np.float32).reshape(256)
+    ulp = np.abs(prod.view(np.int32).astype(np.int64)
+                 - t.view(np.int32).astype(np.int64))
+    assert ulp.max() <= 2, f"two-factor dB table off by {ulp.max()} ulp"
+    hi.setflags(write=False)
+    lo.setflags(write=False)
     return hi, lo

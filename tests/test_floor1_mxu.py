@@ -34,13 +34,10 @@ def test_floor1_mxu_matches_reference():
             flags[t, c, nvals[mode[t], c]:] = False
     mult = np.full((T, C), 2, np.int32)
     step = jnp.asarray(floor1_step_matrix(xs_static, W))
-    from lewton_tpu.tables import floor1_db_exp_constants
-
-    c0, c1 = floor1_db_exp_constants()
     a = np.asarray(floor1_curve_batch(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(flags),
-        jnp.asarray(mult), c0, c1, W))
+        jnp.asarray(mult), W))
     b = np.asarray(floor1_curve_mxu(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(flags),
-        jnp.asarray(mult), jnp.asarray(mode), step, c0, c1, W))
+        jnp.asarray(mult), jnp.asarray(mode), step, W))
     np.testing.assert_array_equal(a, b)

@@ -25,11 +25,10 @@ def test_fused_matches_unfused(monkeypatch):
     residue = jnp.asarray(rng.randn(T, C, W).astype(np.float32))
     used = jnp.asarray(rng.rand(T, C) < 0.8)
     steps = ((0, 1),)
-    c0, c1 = -16.0552, 0.06296
     got = np.asarray(synth_kernel.fused_floor_couple(
-        br, residue, used, steps, c0, c1, rows=8))
+        br, residue, used, steps, rows=8))
     curve = floor1_render(
-        (br[:, 0], br[:, 1], br[:, 2], br[:, 3]), c0, c1
+        (br[:, 0], br[:, 1], br[:, 2], br[:, 3])
     ) * used[:, :, None]
     res = inverse_coupling_static(residue, steps)
     want = np.asarray(curve * res)

@@ -55,10 +55,10 @@ def main() -> None:
         "overlap": win.overlap_add_batch,
     }
 
-    def no_render(br, c0, c1):
+    def no_render(br):
         return br[0] * jnp.float32(1e-6) + jnp.float32(1.0)
 
-    def no_brackets(xs, ys, flags, mult, mode, step, c0, c1, width):
+    def no_brackets(xs, ys, flags, mult, mode, step, width):
         T_, C_ = xs.shape[0], xs.shape[1]
         z = jnp.zeros((T_, C_, width), jnp.float32)
         return z, z + 1.0, z + 2.0, z + 3.0
