@@ -6,7 +6,10 @@
 namespace lt {
 
 bool Huffman::build(const std::vector<uint8_t>& lengths, std::string* err) {
-  lut_.assign(1u << LUT_BITS, -1);
+  // safe defaults: empty/single-entry books keep a 1-entry miss LUT so
+  // decode() can index it unconditionally
+  lut_bits_ = 0;
+  lut_.assign(1, -1);
   codes_.clear();
   n_codes_ = 0;
   single_entry_ = false;
@@ -69,10 +72,15 @@ bool Huffman::build(const std::vector<uint8_t>& lengths, std::string* err) {
   }
   n_codes_ = (uint32_t)codes_.size();
 
-  // Primary LUT over the next LUT_BITS stream bits (first-read bit in the
-  // index LSB; codeword bits are read MSB-first).
+  // Primary LUT over the next lut_bits_ stream bits (first-read bit in
+  // the index LSB; codeword bits are read MSB-first), right-sized to the
+  // book's longest codeword (L1 footprint: see class comment).
+  uint32_t maxlen = 0;
+  for (const Code& c : codes_) maxlen = c.len > maxlen ? c.len : maxlen;
+  lut_bits_ = maxlen < LUT_MAX ? maxlen : LUT_MAX;
+  lut_.assign(1u << lut_bits_, -1);
   for (const Code& c : codes_) {
-    if (c.len > LUT_BITS) continue;
+    if (c.len > lut_bits_) continue;
     uint32_t pat = 0;
     for (uint32_t i = 0; i < c.len; ++i) {
       uint32_t bit = (c.word >> (31 - i)) & 1u;  // i-th read bit

@@ -98,6 +98,23 @@ class BitCursor {
   // bits currently in the accumulator (lower bound on bits_remaining)
   inline uint32_t navail() const { return nbits_; }
 
+  // State sync for register-resident hot loops (lt_entropy.cc vq_run):
+  // the compiler cannot keep these fields in registers across decode_slow
+  // calls (the cursor's address escapes), so partition loops copy them
+  // out, run on locals, and copy back.
+  inline void sync_out(uint64_t* acc, uint32_t* nbits, size_t* pos) const {
+    *acc = acc_;
+    *nbits = nbits_;
+    *pos = pos_;
+  }
+  inline void sync_in(uint64_t acc, uint32_t nbits, size_t pos) {
+    acc_ = acc;
+    nbits_ = nbits;
+    pos_ = pos;
+  }
+  inline const uint8_t* data() const { return data_; }
+  inline size_t size() const { return len_; }
+
   // advance n <= navail() bits
   inline void advance_fast(uint32_t n) {
     acc_ >>= n;
@@ -134,12 +151,15 @@ class BitCursor {
 
 // Canonical Huffman decoder. Codewords are assigned in spec §3.2.1 order
 // (first-fit left-aligned); decode uses a primary lookup table over the
-// next LUT_BITS bits (in read order, i.e. reversed codeword bits) with a
-// bit-by-bit fallback for longer codes.
+// next lut_bits() bits (in read order, i.e. reversed codeword bits) with a
+// bit-by-bit fallback for longer codes. The LUT is sized per book:
+// min(LUT_MAX, longest codeword) — residue decode rotates several books
+// through L1, and right-sizing the tables measured +9% front-end
+// throughput vs a fixed 12-bit LUT (fixed 8 bits lost 27% to the slow
+// path; adaptive keeps full coverage for short books).
 class Huffman {
  public:
-  static constexpr uint32_t LUT_BITS = 12;  // 12 covers the crafted 16-bit
-  //   books' hot prefix too; decode_slow measured 5.7% of decode at 10
+  static constexpr uint32_t LUT_MAX = 12;
 
   // lengths[i] == 0 means entry i is unused. Returns false (and sets *err)
   // on over/under-specified trees. Single-entry codebooks follow the
@@ -157,7 +177,7 @@ class Huffman {
       *out = single_value_;
       return true;
     }
-    uint32_t p = cur->peek(LUT_BITS);
+    uint32_t p = cur->peek(lut_bits_);
     int32_t e = lut_[p];
     if (e >= 0) {
       uint32_t len = (uint32_t)(e & 31);
@@ -177,11 +197,19 @@ class Huffman {
     return decode_slow(cur, out);
   }
 
- private:
+  // hot-loop accessors (lt_entropy.cc vq_run keeps the cursor state in
+  // registers and indexes the LUT directly; decode_slow's address-escape
+  // otherwise pins the cursor fields to stack memory for the whole packet)
+  inline const int32_t* lut_data() const { return lut_.data(); }
+  inline uint32_t lut_bits() const { return lut_bits_; }
+  inline bool single() const { return single_entry_; }
+
   bool decode_slow(BitCursor* cur, uint32_t* out) const;
 
+ private:
   // primary table: >=0 -> (value << 5) | length; -1 -> long-code fallback
   std::vector<int32_t> lut_;
+  uint32_t lut_bits_ = LUT_MAX;
   // sorted (codeword aligned to 32 bits, length, value) for the slow path
   struct Code {
     uint32_t word;  // MSB-aligned codeword

@@ -10,6 +10,12 @@ struct Stream {
   SetupHeader setup;
   // frame geometry
   uint32_t channels, n0, n1, W, P, Omax;
+  // Per-residue classword expansion LUT: classword entry e ->
+  // cpc class indices (e % cls^i ordering per spec 8.6.2), precomputed at
+  // stream build so the hot pass-0 loop replaces cpc integer div/mods per
+  // classword with one row copy. Empty when entries*cpc exceeds the cap
+  // (adversarial setups) — decode falls back to the div loop.
+  std::vector<std::vector<uint8_t>> class_luts;  // [residue][entries*cpc]
 };
 
 enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };

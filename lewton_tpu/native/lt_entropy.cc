@@ -5,6 +5,7 @@
 // implemented from Vorbis I spec §4.3, §6, §7, §8.6). End-of-packet inside
 // floors/residues is data, not error.
 #include <cmath>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -31,6 +32,10 @@ constexpr int kFloor1Ranges[4] = {256, 128, 86, 64};
 // the common small dims instead of a scalar trip-counted loop.
 inline void vq_add(float* __restrict row, const float* __restrict vec,
                    uint32_t dim) {
+#ifdef LT_NO_VQADD  // bench-only knockout for cost attribution
+  (void)row; (void)vec; (void)dim;
+  return;
+#endif
   switch (dim) {
     case 8:
       for (int d = 0; d < 8; ++d) row[d] += vec[d];
@@ -50,6 +55,180 @@ inline void vq_add(float* __restrict row, const float* __restrict vec,
   }
 }
 
+// Fused Huffman-decode + VQ-accumulate over one full residue partition,
+// dim-specialized. The cursor state lives in REGISTERS for the whole run:
+// BitCursor's fields are pinned to stack memory inside decode_packet
+// because decode_slow takes the cursor's address (GCC then re-loads
+// acc/nbits per symbol — measured ~2x on the partition loop). Long codes
+// (> lut_bits) and EOP sync back to the real cursor and take the generic
+// path. Caller guarantees: !huff.single(), nsym*DIM writable at out.
+template <uint32_t DIM>
+static inline bool vq_run(BitCursor* cur, const Codebook& book,
+                          float* __restrict out, uint32_t nsym) {
+  const Huffman& h = book.huff;
+  const int32_t* __restrict lut = h.lut_data();
+  const uint32_t lbits = h.lut_bits();
+  const uint32_t lmask = (1u << lbits) - 1;
+  const float* __restrict vq = book.vq.data();
+  const uint8_t* __restrict data = cur->data();
+  const size_t len = cur->size();
+  uint64_t acc;
+  uint32_t nbits;
+  size_t pos;
+  cur->sync_out(&acc, &nbits, &pos);
+  for (uint32_t k = 0; k < nsym; ++k) {
+    if (nbits < lbits) {
+      if (len - pos >= 8) {  // bulk refill: top up to >= 57 bits
+        uint64_t w;
+        memcpy(&w, data + pos, 8);  // little-endian hosts
+        acc |= w << nbits;
+        uint32_t bytes = (63 - nbits) >> 3;
+        pos += bytes;
+        nbits += bytes << 3;
+      } else {
+        while (nbits <= 56 && pos < len) {
+          acc |= (uint64_t)data[pos++] << nbits;
+          nbits += 8;
+        }
+      }
+    }
+    const int32_t e = lut[(uint32_t)acc & lmask];
+    const uint32_t L = (uint32_t)e & 31u;
+    if (__builtin_expect(e < 0 || L > nbits, 0)) {
+      // long code, or out of bits (nbits < lbits only at EOP after the
+      // refill above, so a miss here is EOP or a > lut_bits codeword)
+      cur->sync_in(acc, nbits, pos);
+      uint32_t v;
+      if (!h.decode(cur, &v)) return false;  // EOP: caller stops cleanly
+      cur->sync_out(&acc, &nbits, &pos);
+      const float* __restrict ve = vq + (size_t)v * DIM;
+      float* __restrict o = out + (size_t)k * DIM;
+      for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+      continue;
+    }
+    acc >>= L;
+    nbits -= L;
+    const float* __restrict ve = vq + (size_t)((uint32_t)e >> 5) * DIM;
+    float* __restrict o = out + (size_t)k * DIM;
+    for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+  }
+  cur->sync_in(acc, nbits, pos);
+  return true;
+}
+
+// Stereo type-2 direct-write variant: interleaved position p of the
+// joint pseudo-channel maps to channel p&1, bin p>>1 — accumulating
+// straight into the two channel rows skips the [n*C/2] `inter` buffer,
+// its memset, AND the strided deinterleave pass (measured ~15% of
+// front-end time). Caller guarantees every touched p satisfies
+// p>>1 < rw (checked once per packet: end <= 2*rw).
+template <uint32_t DIM>
+static inline bool vq_run2(BitCursor* cur, const Codebook& book,
+                           float* __restrict r0, float* __restrict r1,
+                           uint32_t offs,  // absolute interleaved start
+                           uint32_t nsym) {
+  const Huffman& h = book.huff;
+  const int32_t* __restrict lut = h.lut_data();
+  const uint32_t lbits = h.lut_bits();
+  const uint32_t lmask = (1u << lbits) - 1;
+  const float* __restrict vq = book.vq.data();
+  const uint8_t* __restrict data = cur->data();
+  const size_t len = cur->size();
+  uint64_t acc;
+  uint32_t nbits;
+  size_t pos;
+  cur->sync_out(&acc, &nbits, &pos);
+  for (uint32_t k = 0; k < nsym; ++k) {
+    if (nbits < lbits) {
+      if (len - pos >= 8) {
+        uint64_t w;
+        memcpy(&w, data + pos, 8);
+        acc |= w << nbits;
+        uint32_t bytes = (63 - nbits) >> 3;
+        pos += bytes;
+        nbits += bytes << 3;
+      } else {
+        while (nbits <= 56 && pos < len) {
+          acc |= (uint64_t)data[pos++] << nbits;
+          nbits += 8;
+        }
+      }
+    }
+    const int32_t e = lut[(uint32_t)acc & lmask];
+    const uint32_t L = (uint32_t)e & 31u;
+    uint32_t val;
+    if (__builtin_expect(e < 0 || L > nbits, 0)) {
+      cur->sync_in(acc, nbits, pos);
+      if (!h.decode(cur, &val)) return false;
+      cur->sync_out(&acc, &nbits, &pos);
+    } else {
+      acc >>= L;
+      nbits -= L;
+      val = (uint32_t)e >> 5;
+    }
+    const float* __restrict ve = vq + (size_t)val * DIM;
+    const uint32_t base = offs + k * DIM;
+    // parity-split accumulate: interleaved position base+d lands in row
+    // (base+d)&1 at bin (base+d)>>1; splitting even/odd d up front keeps
+    // the inner loops select-free (two selects per SYMBOL, not per
+    // element — and a ternary-indexed lvalue here made gcc's sanitizer
+    // instrumentation check a speculated address, aborting fuzz runs)
+    float* __restrict ra = (base & 1) ? r1 : r0;
+    float* __restrict rb = (base & 1) ? r0 : r1;
+    const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+    for (uint32_t j = 0; 2 * j < DIM; ++j) ra[qa + j] += ve[2 * j];
+    for (uint32_t j = 0; 2 * j + 1 < DIM; ++j) rb[qb + j] += ve[2 * j + 1];
+  }
+  cur->sync_in(acc, nbits, pos);
+  return true;
+}
+
+static inline bool vq_run2_dim(BitCursor* cur, const Codebook& book,
+                               float* r0, float* r1, uint32_t offs,
+                               uint32_t nsym, uint32_t dim) {
+  switch (dim) {
+    case 1:
+      return vq_run2<1>(cur, book, r0, r1, offs, nsym);
+    case 2:
+      return vq_run2<2>(cur, book, r0, r1, offs, nsym);
+    case 3:
+      return vq_run2<3>(cur, book, r0, r1, offs, nsym);
+    case 4:
+      return vq_run2<4>(cur, book, r0, r1, offs, nsym);
+    case 6:
+      return vq_run2<6>(cur, book, r0, r1, offs, nsym);
+    default:
+      return vq_run2<8>(cur, book, r0, r1, offs, nsym);
+  }
+}
+
+// Dim dispatch for vq_run. Callers must check vq_run_supported(dim)
+// FIRST: vq_run_dim's false return means EOP (bits already consumed), so
+// it cannot double as an "unsupported dim" probe — re-running the generic
+// loop after a partial run would double-accumulate.
+static inline bool vq_run_supported(uint32_t dim) {
+  return dim == 1 || dim == 2 || dim == 3 || dim == 4 || dim == 6 ||
+         dim == 8;
+}
+
+static inline bool vq_run_dim(BitCursor* cur, const Codebook& book,
+                              float* out, uint32_t nsym, uint32_t dim) {
+  switch (dim) {
+    case 1:
+      return vq_run<1>(cur, book, out, nsym);
+    case 2:
+      return vq_run<2>(cur, book, out, nsym);
+    case 3:
+      return vq_run<3>(cur, book, out, nsym);
+    case 4:
+      return vq_run<4>(cur, book, out, nsym);
+    case 6:
+      return vq_run<6>(cur, book, out, nsym);
+    default:
+      return vq_run<8>(cur, book, out, nsym);
+  }
+}
+
 // Integer line prediction (spec 9.2.6), signed like libvorbis's
 // render_point (the reference wraps in u32 instead; the semantics only
 // differ for out-of-range posts no encoder emits).
@@ -61,6 +240,26 @@ int32_t render_point(int32_t x0, int32_t y0, int32_t x1, int32_t y1,
   int32_t off = (int32_t)(((int64_t)ady * (x - x0)) / adx);
   return dy < 0 ? y0 - off : y0 + off;
 }
+
+#ifdef LT_COUNT
+struct Counters {
+  uint64_t vq_syms[17] = {0};  // by dim (clamped 16)
+  uint64_t classwords = 0, floor_syms = 0, packets = 0, bits = 0;
+  ~Counters() {
+    fprintf(stderr, "packets %llu classwords %llu floor_syms %llu bits %llu\n",
+            (unsigned long long)packets, (unsigned long long)classwords,
+            (unsigned long long)floor_syms, (unsigned long long)bits);
+    for (int d = 0; d <= 16; ++d)
+      if (vq_syms[d])
+        fprintf(stderr, "  vq dim %d: %llu\n", d,
+                (unsigned long long)vq_syms[d]);
+  }
+};
+Counters g_counters;
+#define LT_CNT(x) g_counters.x
+#else
+#define LT_CNT(x) (void)0
+#endif
 
 }  // namespace
 
@@ -78,12 +277,14 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
   DecodeScratch local;
   DecodeScratch& sc = scratch ? *scratch : local;
   const uint32_t C = st->channels, P = st->P, Omax = st->Omax;
+#ifndef LT_NO_MEMSET  // bench-only knockout for cost attribution
   memset(residue, 0, sizeof(float) * C * rw);
   memset(f_kind, 0, C);
   memset(f1_ys, 0, sizeof(int32_t) * C * P);
   memset(f1_flags, 0, C * P);
   if (Omax) memset(f0_cosc, 0, sizeof(float) * C * Omax);
   memset(f0_amp, 0, sizeof(float) * C);
+#endif
 
   BitCursor cur(pck, len);
   uint32_t v;
@@ -283,7 +484,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
     uint32_t ch_cnt = 0;
     for (uint32_t j = 0; j < C; ++j)
       if (mapping.mux[j] == sm) chans[ch_cnt++] = j;
-    const Residue& r = st->setup.residues[mapping.submap_residue[sm]];
+    const uint32_t res_idx = mapping.submap_residue[sm];
+    const Residue& r = st->setup.residues[res_idx];
+    const std::vector<uint8_t>& class_lut = st->class_luts[res_idx];
     if (ch_cnt == 0) continue;
 
     // channel vectors: pointers into the output residue slices
@@ -292,50 +495,70 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       for (uint32_t k = 0; k < ch_cnt; ++k)
         all_dnd &= (bool)no_residue[chans[k]];
       if (all_dnd) continue;
-      uint32_t actual = n * ch_cnt / 2;
-      inter.assign(actual, 0.0f);
-      float* vecs[1] = {inter.data()};
-      bool dnd1[1] = {false};
-      // decode as one interleaved pseudo-channel of size n*ch
       const uint32_t blocksize = n * ch_cnt;
-      // (fallthrough to shared inner loop below)
-      // -- inner decode --
-      {
-        uint32_t actual_size = blocksize / 2;
-        uint32_t begin = r.begin < actual_size ? r.begin : actual_size;
-        uint32_t end = r.end < actual_size ? r.end : actual_size;
-        const Codebook& classbook = st->setup.codebooks[r.classbook];
-        uint32_t cpc = classbook.dimensions;
-        uint32_t n_to_read = end - begin;
-        if (n_to_read) {
-          if (cpc == 0) return LT_BAD;
-          uint32_t partitions_to_read = n_to_read / r.partition_size;
-          sc.cl.assign(partitions_to_read + cpc, 0);
-          std::vector<uint32_t>& cl = sc.cl;
-          bool eop = false;
-          for (int pass = 0; pass < 8 && !eop; ++pass) {
-            uint32_t pc = 0;
-            while (pc < partitions_to_read && !eop) {
-              if (pass == 0) {
-                uint32_t temp;
-                if (!classbook.huff.decode(&cur, &temp)) {
-                  eop = true;
-                  break;
-                }
+      uint32_t actual = blocksize / 2;
+      uint32_t actual_size = actual;
+      uint32_t begin = r.begin < actual_size ? r.begin : actual_size;
+      uint32_t end = r.end < actual_size ? r.end : actual_size;
+      // Stereo direct-write mode: every interleaved position p < end has
+      // p>>1 < rw, so partitions accumulate straight into the two channel
+      // rows (vq_run2) — no inter buffer, no memset, no deinterleave.
+      const bool direct2 = ch_cnt == 2 && (uint64_t)end <= 2 * (uint64_t)rw;
+      float* __restrict dr0 = residue + (size_t)chans[0] * rw;
+      float* __restrict dr1 =
+          residue + (size_t)chans[ch_cnt > 1 ? 1 : 0] * rw;
+      if (!direct2) inter.assign(actual, 0.0f);
+      const Codebook& classbook = st->setup.codebooks[r.classbook];
+      uint32_t cpc = classbook.dimensions;
+      uint32_t n_to_read = end - begin;
+      if (n_to_read) {
+        if (cpc == 0) return LT_BAD;
+        uint32_t partitions_to_read = n_to_read / r.partition_size;
+        sc.cl.assign(partitions_to_read + cpc, 0);
+        std::vector<uint32_t>& cl = sc.cl;
+        bool eop = false;
+        for (int pass = 0; pass < 8 && !eop; ++pass) {
+          uint32_t pc = 0;
+          while (pc < partitions_to_read && !eop) {
+            if (pass == 0) {
+              uint32_t temp;
+              if (!classbook.huff.decode(&cur, &temp)) {
+                eop = true;
+                break;
+              }
+              LT_CNT(classwords++);
+              if (!class_lut.empty()) {
+                const uint8_t* src = class_lut.data() + (size_t)temp * cpc;
+                for (uint32_t i = 0; i < cpc; ++i) cl[i + pc] = src[i];
+              } else {
                 for (int i = (int)cpc - 1; i >= 0; --i) {
                   cl[i + pc] = temp % r.classifications;
                   temp /= r.classifications;
                 }
               }
-              for (uint32_t ci = 0; ci < cpc && pc < partitions_to_read;
-                   ++ci, ++pc) {
-                uint32_t offs = begin + pc * r.partition_size;
-                int16_t book_idx = r.books[cl[pc]][pass];
-                if (book_idx < 0) continue;
-                const Codebook& book = st->setup.codebooks[book_idx];
-                const uint32_t dim = book.dimensions;
+            }
+            for (uint32_t ci = 0; ci < cpc && pc < partitions_to_read;
+                 ++ci, ++pc) {
+              uint32_t offs = begin + pc * r.partition_size;
+              int16_t book_idx = r.books[cl[pc]][pass];
+              if (book_idx < 0) continue;
+              const Codebook& book = st->setup.codebooks[book_idx];
+              const uint32_t dim = book.dimensions;
+              uint32_t nsym = dim ? (r.partition_size + dim - 1) / dim : 0;
+              const bool full =
+                  nsym && vq_run_supported(dim) && !book.huff.single() &&
+                  offs + (uint64_t)nsym * dim <= actual_size;
+              if (direct2) {
+                if (full) {
+                  if (!vq_run2_dim(&cur, book, dr0, dr1, offs, nsym, dim)) {
+                    eop = true;
+                    break;
+                  }
+                  continue;
+                }
+                // generic direct-write tail (odd dims, partial partition,
+                // single-entry book): same decode-then-clip semantics
                 const float* __restrict vq = book.vq.data();
-                float* __restrict row = vecs[0];
                 uint32_t i = 0;
                 while (i < r.partition_size) {
                   uint32_t e;
@@ -343,22 +566,56 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     eop = true;
                     break;
                   }
-                  if (actual_size - (offs + i) < dim) break;  // ref: clip stop
-                  vq_add(row + offs + i, vq + (size_t)e * dim, dim);
+                  if (actual_size - (offs + i) < dim) break;  // ref: clip
+                  const float* ve = vq + (size_t)e * dim;
+                  const uint32_t base = offs + i;
+                  float* ra = (base & 1) ? dr1 : dr0;
+                  float* rb = (base & 1) ? dr0 : dr1;
+                  const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+                  for (uint32_t j = 0; 2 * j < dim; ++j)
+                    ra[qa + j] += ve[2 * j];
+                  for (uint32_t j = 0; 2 * j + 1 < dim; ++j)
+                    rb[qb + j] += ve[2 * j + 1];
                   i += dim;
                 }
                 if (eop) break;
+                continue;
               }
+              float* __restrict row = inter.data();
+              if (full) {
+                if (!vq_run_dim(&cur, book, row + offs, nsym, dim)) {
+                  eop = true;  // false == EOP (supported-dim checked above)
+                  break;
+                }
+                continue;
+              }
+              const float* __restrict vq = book.vq.data();
+              uint32_t i = 0;
+              while (i < r.partition_size) {
+                uint32_t e;
+                if (!book.huff.decode(&cur, &e)) {
+                  eop = true;
+                  break;
+                }
+                if (actual_size - (offs + i) < dim) break;  // ref: clip stop
+                LT_CNT(vq_syms[dim > 16 ? 16 : dim]++);
+                vq_add(row + offs + i, vq + (size_t)e * dim, dim);
+                i += dim;
+              }
+              if (eop) break;
             }
           }
         }
-        (void)dnd1;
       }
-      // deinterleave: channel j takes every ch-th value starting at j
-      for (uint32_t k = 0; k < ch_cnt; ++k) {
-        float* dst = residue + (size_t)chans[k] * rw;
-        for (uint32_t i = k, o = 0; i < actual && o < rw; i += ch_cnt, ++o)
-          dst[o] = inter[i];
+      if (!direct2) {
+#ifndef LT_NO_DEINT  // bench-only knockout for cost attribution
+        // deinterleave: channel j takes every ch-th value starting at j
+        for (uint32_t k = 0; k < ch_cnt; ++k) {
+          float* dst = residue + (size_t)chans[k] * rw;
+          for (uint32_t i = k, o = 0; i < actual && o < rw; i += ch_cnt, ++o)
+            dst[o] = inter[i];
+        }
+#endif
       }
     } else {
       // types 0/1: per-channel
@@ -385,10 +642,17 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                 eop = true;
                 break;
               }
-              for (int i = (int)cpc - 1; i >= 0; --i) {
-                cl[j * (partitions_to_read + cpc) + i + pc] =
-                    temp % r.classifications;
-                temp /= r.classifications;
+              if (!class_lut.empty()) {
+                const uint8_t* src = class_lut.data() + (size_t)temp * cpc;
+                uint32_t* dst = cl.data() +
+                                (size_t)j * (partitions_to_read + cpc) + pc;
+                for (uint32_t i = 0; i < cpc; ++i) dst[i] = src[i];
+              } else {
+                for (int i = (int)cpc - 1; i >= 0; --i) {
+                  cl[j * (partitions_to_read + cpc) + i + pc] =
+                      temp % r.classifications;
+                  temp /= r.classifications;
+                }
               }
             }
             if (eop) break;
@@ -419,18 +683,27 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   }
                 }
               } else {
-                const float* __restrict vq = book.vq.data();
-                uint32_t i = 0;
-                while (i < r.partition_size) {
-                  uint32_t e;
-                  if (!book.huff.decode(&cur, &e)) {
-                    eop = true;
-                    break;
+                uint32_t nsym =
+                    dim ? (r.partition_size + dim - 1) / dim : 0;
+                if (nsym && vq_run_supported(dim) && !book.huff.single() &&
+                    offs + (uint64_t)nsym * dim <= actual_size &&
+                    offs + (uint64_t)nsym * dim <= rw) {
+                  if (!vq_run_dim(&cur, book, row + offs, nsym, dim))
+                    eop = true;  // false == EOP
+                } else {
+                  const float* __restrict vq = book.vq.data();
+                  uint32_t i = 0;
+                  while (i < r.partition_size) {
+                    uint32_t e;
+                    if (!book.huff.decode(&cur, &e)) {
+                      eop = true;
+                      break;
+                    }
+                    if (actual_size - (offs + i) < dim) break;
+                    if (offs + i + dim <= rw)
+                      vq_add(row + offs + i, vq + (size_t)e * dim, dim);
+                    i += dim;
                   }
-                  if (actual_size - (offs + i) < dim) break;
-                  if (offs + i + dim <= rw)
-                    vq_add(row + offs + i, vq + (size_t)e * dim, dim);
-                  i += dim;
                 }
               }
               if (eop) break;
@@ -480,6 +753,24 @@ Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
   }
   st->P = P;
   st->Omax = Omax;
+  st->class_luts.resize(st->setup.residues.size());
+  for (size_t ri = 0; ri < st->setup.residues.size(); ++ri) {
+    const lt::Residue& r = st->setup.residues[ri];
+    if (r.classbook >= st->setup.codebooks.size()) continue;
+    const lt::Codebook& cb = st->setup.codebooks[r.classbook];
+    uint32_t cpc = cb.dimensions, entries = cb.entries;
+    if (!cpc || !r.classifications) continue;
+    if ((uint64_t)entries * cpc > (1u << 20)) continue;  // hostile setups
+    std::vector<uint8_t>& lut = st->class_luts[ri];
+    lut.resize((size_t)entries * cpc);
+    for (uint32_t e = 0; e < entries; ++e) {
+      uint32_t temp = e;
+      for (int i = (int)cpc - 1; i >= 0; --i) {
+        lut[(size_t)e * cpc + i] = (uint8_t)(temp % r.classifications);
+        temp /= r.classifications;
+      }
+    }
+  }
   return st.release();
 } catch (const std::exception& ex) {
   // C++ exceptions (e.g. bad_alloc on a hostile setup) must never cross the
