@@ -271,11 +271,12 @@ def bench_frontend(args) -> None:
     data = open(f"{root}/stereo_44k_q3.ogg", "rb").read()
     rdr = PacketReader(data)
     headers, _ = read_headers(rdr)
-    pcks = [p.data for p in native.demux(data)][3:]
+    spans, _, _, _, _ = native.demux_spans(data)
+    audio = spans[3:]  # drop the 3 header packets (zero-copy views)
     sd = StreamDecoder(headers.ident, headers.setup, chunk=64,
                        raw_headers=(headers.raw_ident, headers.raw_setup))
     S = 32
-    streams = [pcks[:64]] * S
+    streams = [audio[:64]] * S
     out = sd.entropy_chunk_batch(streams)  # warm + allocate
     rates = {}
     for threads in (1, _os.cpu_count() or 1):
@@ -327,10 +328,14 @@ def bench_e2e(args) -> None:
 
     rdr = PacketReader(data)
     headers, serial = read_headers(rdr)
-    pcks = [p.data for p in native.demux(data)][3:]
-    # extend each stream to ~30 s so per-call overheads amortize (packets
-    # are self-contained; only the window carry crosses them)
-    pcks = pcks * max(1, int(30 / 3))
+    spans, _, _, _, _ = native.demux_spans(data)
+    # zero-copy packet views: audio packets as spans into the demux blob
+    # (skip the 3 header packets); extend each stream to ~30 s so per-call
+    # overheads amortize (packets are self-contained; only the window
+    # carry crosses them) — tiling spans re-reads the same blob bytes
+    rep = max(1, int(30 / 3))
+    pcks = native.PacketSpans(spans.data, np.tile(spans.offs[3:], rep),
+                              np.tile(spans.lens[3:], rep))
     S = args.streams
     # T=64 chunks measure best through this environment's device tunnel
     # (bigger chunks inflate the compacted-output cap and D2H bursts)

@@ -69,6 +69,19 @@ def _load():
         i32p, u8p, u8p, u8p, i16p, u8p, i32p, u8p, f32p, f32p, C.c_int,
         C.c_int,
     ]
+    pp = C.POINTER(C.c_void_p)
+    lib.lt_decode_chunk_batch_v.restype = C.c_int
+    lib.lt_decode_chunk_batch_v.argtypes = [
+        C.c_void_p, pp, u64p, u64p, i32p, C.c_int, C.c_int,
+        i32p, u8p, u8p, u8p, f32p, u8p, i32p, u8p, f32p, f32p, C.c_int,
+        C.c_int,
+    ]
+    lib.lt_decode_chunk_batch_v_i16.restype = C.c_int
+    lib.lt_decode_chunk_batch_v_i16.argtypes = [
+        C.c_void_p, pp, u64p, u64p, i32p, C.c_int, C.c_int,
+        i32p, u8p, u8p, u8p, i16p, u8p, i32p, u8p, f32p, f32p, C.c_int,
+        C.c_int,
+    ]
     lib.lt_decoder_new.restype = C.c_void_p
     lib.lt_decoder_new.argtypes = [u8p, C.c_size_t, u8p, C.c_size_t,
                                    C.c_char_p, C.c_size_t]
@@ -287,6 +300,111 @@ class NativeStream:
         valid[np.arange(T)[None, :] >= counts[:, None]] = False
         out["valid"][...] = valid
         return status
+
+    def decode_chunk_batch_view(self, bufs: "np.ndarray", offs: "np.ndarray",
+                                lens: "np.ndarray", counts: "np.ndarray",
+                                out: dict, threads: int = 1) -> "np.ndarray":
+        """Zero-copy batch entry: packets stay in their demux blobs.
+
+        ``bufs``: object-compat [S] array of c_void_p base pointers (see
+        :func:`spans_ptr`); ``offs``/``lens``: uint64 [S, T] byte spans into
+        each stream's blob; ``counts``: int32 [S]. No per-chunk byte joins —
+        the list-of-bytes path's join + marshaling measured ~2.6x over the
+        raw decode at production shapes."""
+        S, T = offs.shape
+        status = np.zeros((S, T), np.uint8)
+        u8v = lambda a: a.view(np.uint8)  # noqa: E731
+        if out["residue"].dtype == np.int16:
+            fn, rptr = self._lib.lt_decode_chunk_batch_v_i16, _ptr(
+                out["residue"], C.c_int16)
+        else:
+            fn, rptr = self._lib.lt_decode_chunk_batch_v, _ptr(
+                out["residue"], C.c_float)
+        fn(
+            self._h, bufs.ctypes.data_as(C.POINTER(C.c_void_p)),
+            _ptr(offs, C.c_uint64), _ptr(lens, C.c_uint64),
+            _ptr(counts, C.c_int32), S, T,
+            _ptr(out["mode"], C.c_int32), _u8(u8v(out["prev_flag"])),
+            _u8(u8v(out["next_flag"])), _u8(status),
+            rptr, _u8(u8v(out["f_used"])),
+            _ptr(out["f1_ys"], C.c_int32), _u8(u8v(out["f1_flags"])),
+            _ptr(out["f0_cosc"], C.c_float), _ptr(out["f0_amp"], C.c_float),
+            int(self.frame_width), int(threads),
+        )
+        valid = status == 0
+        valid[np.arange(T)[None, :] >= counts[:, None]] = False
+        out["valid"][...] = valid
+        return status
+
+
+class PacketSpans:
+    """A demuxed stream's audio packets as spans into one shared blob:
+    ``data`` uint8 [N_bytes], ``offs``/``lens`` uint64 [n_packets]. The
+    zero-copy front-end (decode_chunk_batch_view) slices these per chunk
+    instead of re-joining packet bytes."""
+
+    __slots__ = ("data", "offs", "lens")
+
+    def __init__(self, data, offs, lens):
+        self.data = np.ascontiguousarray(data, dtype=np.uint8)
+        self.offs = np.ascontiguousarray(offs, dtype=np.uint64)
+        self.lens = np.ascontiguousarray(lens, dtype=np.uint64)
+
+    def __len__(self):
+        return len(self.offs)
+
+    def slice(self, t0: int, t1: int) -> "PacketSpans":
+        return PacketSpans(self.data, self.offs[t0:t1], self.lens[t0:t1])
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):  # chunk loops slice streams uniformly
+            return PacketSpans(self.data, self.offs[key], self.lens[key])
+        o, ln = int(self.offs[key]), int(self.lens[key])
+        return self.data[o : o + ln].tobytes()
+
+    @staticmethod
+    def from_bytes(packets: list) -> "PacketSpans":
+        lens = np.fromiter(map(len, packets), np.uint64, len(packets))
+        offs = np.zeros(len(packets), np.uint64)
+        if len(packets):
+            offs[1:] = np.cumsum(lens[:-1])
+        blob = np.frombuffer(b"".join(packets), dtype=np.uint8) if packets \
+            else np.zeros(1, np.uint8)
+        return PacketSpans(blob, offs, lens)
+
+
+def demux_spans(data: bytes):
+    """Demux a whole Ogg byte stream natively -> (PacketSpans over ALL
+    packets, serials u32 [n], flags u8 [n], absgp u64 [n], pgran u64 [n]).
+    The packet bytes live in ONE blob; no per-packet bytes objects."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("liblewton_host.so not built")
+    src = np.frombuffer(data, dtype=np.uint8)
+    h = lib.lt_ogg_new(_u8(src), len(data))
+    if not h:
+        from ..errors import OggError
+
+        raise OggError("native ogg demux failed (allocation)")
+    try:
+        count = lib.lt_ogg_packet_count(h)
+        lens = np.zeros(count, np.uint64)
+        serials = np.zeros(count, np.uint32)
+        flags = np.zeros(count, np.uint8)
+        absgp = np.zeros(count, np.uint64)
+        pgran = np.zeros(count, np.uint64)
+        lib.lt_ogg_packet_meta(h, _ptr(lens, C.c_uint64),
+                               _ptr(serials, C.c_uint32), _u8(flags),
+                               _ptr(absgp, C.c_uint64),
+                               _ptr(pgran, C.c_uint64))
+        blob = np.zeros(max(int(lens.sum()), 1), np.uint8)
+        lib.lt_ogg_packet_data(h, _u8(blob))
+        offs = np.zeros(count, np.uint64)
+        if count:
+            offs[1:] = np.cumsum(lens[:-1])
+        return PacketSpans(blob, offs, lens), serials, flags, absgp, pgran
+    finally:
+        lib.lt_ogg_free(h)
 
 
 class NativeDecoder:

@@ -16,6 +16,11 @@ struct Stream {
   // classword with one row copy. Empty when entries*cpc exceeds the cap
   // (adversarial setups) — decode falls back to the div loop.
   std::vector<std::vector<uint8_t>> class_luts;  // [residue][entries*cpc]
+  // Bit p set => some class has a book in pass p. Passes with every book
+  // -1 consume no bits and write nothing, so the decode loop skips them
+  // outright (typical setups use 1-3 of the 8 cascade passes; pass 0
+  // always runs — it carries the classwords).
+  std::vector<uint8_t> pass_used;  // [residue]
 };
 
 enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };

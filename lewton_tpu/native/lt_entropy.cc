@@ -55,16 +55,20 @@ inline void vq_add(float* __restrict row, const float* __restrict vec,
   }
 }
 
-// Fused Huffman-decode + VQ-accumulate over one full residue partition,
-// dim-specialized. The cursor state lives in REGISTERS for the whole run:
-// BitCursor's fields are pinned to stack memory inside decode_packet
-// because decode_slow takes the cursor's address (GCC then re-loads
-// acc/nbits per symbol — measured ~2x on the partition loop). Long codes
-// (> lut_bits) and EOP sync back to the real cursor and take the generic
-// path. Caller guarantees: !huff.single(), nsym*DIM writable at out.
-template <uint32_t DIM>
-static inline bool vq_run(BitCursor* cur, const Codebook& book,
-                          float* __restrict out, uint32_t nsym) {
+// Fused Huffman-decode + VQ-accumulate over one full residue partition.
+// The cursor state lives in REGISTERS for the whole run: BitCursor's
+// fields are pinned to stack memory inside decode_packet because
+// decode_slow takes the cursor's address (GCC then re-loads acc/nbits
+// per symbol — measured ~2x on the partition loop).
+//
+// Long codes (> lut_bits) and EOP fall back to the generic cursor path
+// per symbol. (A burst variant — one refill check per floor(nbits/16)
+// guaranteed hits — measured no better than this form on the bench
+// corpus; the branch predictor already eats the per-symbol checks.)
+// Caller guarantees: !huff.single(), every accumulate target in range.
+template <uint32_t DIM, class Accum>
+static inline bool vq_core(BitCursor* cur, const Codebook& book,
+                           uint32_t nsym, Accum&& accum) {
   const Huffman& h = book.huff;
   const int32_t* __restrict lut = h.lut_data();
   const uint32_t lbits = h.lut_bits();
@@ -78,9 +82,9 @@ static inline bool vq_run(BitCursor* cur, const Codebook& book,
   cur->sync_out(&acc, &nbits, &pos);
   for (uint32_t k = 0; k < nsym; ++k) {
     if (nbits < lbits) {
-      if (len - pos >= 8) {  // bulk refill: top up to >= 57 bits
+      if (len - pos >= 8) {  // bulk refill (little-endian hosts)
         uint64_t w;
-        memcpy(&w, data + pos, 8);  // little-endian hosts
+        memcpy(&w, data + pos, 8);
         acc |= w << nbits;
         uint32_t bytes = (63 - nbits) >> 3;
         pos += bytes;
@@ -98,108 +102,54 @@ static inline bool vq_run(BitCursor* cur, const Codebook& book,
       // long code, or out of bits (nbits < lbits only at EOP after the
       // refill above, so a miss here is EOP or a > lut_bits codeword)
       cur->sync_in(acc, nbits, pos);
-      uint32_t v;
-      if (!h.decode(cur, &v)) return false;  // EOP: caller stops cleanly
+      uint32_t val;
+      if (!h.decode(cur, &val)) return false;  // EOP: caller stops cleanly
       cur->sync_out(&acc, &nbits, &pos);
-      const float* __restrict ve = vq + (size_t)v * DIM;
-      float* __restrict o = out + (size_t)k * DIM;
-      for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+      accum(vq + (size_t)val * DIM, k);
       continue;
     }
     acc >>= L;
     nbits -= L;
-    const float* __restrict ve = vq + (size_t)((uint32_t)e >> 5) * DIM;
-    float* __restrict o = out + (size_t)k * DIM;
-    for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+    accum(vq + (size_t)((uint32_t)e >> 5) * DIM, k);
   }
   cur->sync_in(acc, nbits, pos);
   return true;
 }
 
-// Stereo type-2 direct-write variant: interleaved position p of the
-// joint pseudo-channel maps to channel p&1, bin p>>1 — accumulating
-// straight into the two channel rows skips the [n*C/2] `inter` buffer,
-// its memset, AND the strided deinterleave pass (measured ~15% of
-// front-end time). Caller guarantees every touched p satisfies
-// p>>1 < rw (checked once per packet: end <= 2*rw).
+// Contiguous accumulate (types 0/1 rows, and type-2 via `inter`).
+template <uint32_t DIM>
+static inline bool vq_run(BitCursor* cur, const Codebook& book,
+                          float* __restrict out, uint32_t nsym) {
+  return vq_core<DIM>(cur, book, nsym,
+                      [&](const float* __restrict ve, uint32_t k) {
+                        float* __restrict o = out + (size_t)k * DIM;
+                        for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+                      });
+}
+
+// Stereo type-2 direct-write: interleaved position p of the joint
+// pseudo-channel maps to channel p&1, bin p>>1 — accumulating straight
+// into the two channel rows skips the [n*C/2] `inter` buffer, its
+// memset, AND the strided deinterleave pass (measured ~15% of front-end
+// time). Parity-split inner loops keep the accumulate select-free (and
+// a ternary-indexed lvalue here made gcc's sanitizer instrumentation
+// check a speculated address, aborting fuzz runs). Caller guarantees
+// every touched p has p>>1 < rw (checked once per packet: end <= 2*rw).
 template <uint32_t DIM>
 static inline bool vq_run2(BitCursor* cur, const Codebook& book,
                            float* __restrict r0, float* __restrict r1,
                            uint32_t offs,  // absolute interleaved start
                            uint32_t nsym) {
-  const Huffman& h = book.huff;
-  const int32_t* __restrict lut = h.lut_data();
-  const uint32_t lbits = h.lut_bits();
-  const uint32_t lmask = (1u << lbits) - 1;
-  const float* __restrict vq = book.vq.data();
-  const uint8_t* __restrict data = cur->data();
-  const size_t len = cur->size();
-  uint64_t acc;
-  uint32_t nbits;
-  size_t pos;
-  cur->sync_out(&acc, &nbits, &pos);
-  for (uint32_t k = 0; k < nsym; ++k) {
-    if (nbits < lbits) {
-      if (len - pos >= 8) {
-        uint64_t w;
-        memcpy(&w, data + pos, 8);
-        acc |= w << nbits;
-        uint32_t bytes = (63 - nbits) >> 3;
-        pos += bytes;
-        nbits += bytes << 3;
-      } else {
-        while (nbits <= 56 && pos < len) {
-          acc |= (uint64_t)data[pos++] << nbits;
-          nbits += 8;
-        }
-      }
-    }
-    const int32_t e = lut[(uint32_t)acc & lmask];
-    const uint32_t L = (uint32_t)e & 31u;
-    uint32_t val;
-    if (__builtin_expect(e < 0 || L > nbits, 0)) {
-      cur->sync_in(acc, nbits, pos);
-      if (!h.decode(cur, &val)) return false;
-      cur->sync_out(&acc, &nbits, &pos);
-    } else {
-      acc >>= L;
-      nbits -= L;
-      val = (uint32_t)e >> 5;
-    }
-    const float* __restrict ve = vq + (size_t)val * DIM;
-    const uint32_t base = offs + k * DIM;
-    // parity-split accumulate: interleaved position base+d lands in row
-    // (base+d)&1 at bin (base+d)>>1; splitting even/odd d up front keeps
-    // the inner loops select-free (two selects per SYMBOL, not per
-    // element — and a ternary-indexed lvalue here made gcc's sanitizer
-    // instrumentation check a speculated address, aborting fuzz runs)
-    float* __restrict ra = (base & 1) ? r1 : r0;
-    float* __restrict rb = (base & 1) ? r0 : r1;
-    const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
-    for (uint32_t j = 0; 2 * j < DIM; ++j) ra[qa + j] += ve[2 * j];
-    for (uint32_t j = 0; 2 * j + 1 < DIM; ++j) rb[qb + j] += ve[2 * j + 1];
-  }
-  cur->sync_in(acc, nbits, pos);
-  return true;
-}
-
-static inline bool vq_run2_dim(BitCursor* cur, const Codebook& book,
-                               float* r0, float* r1, uint32_t offs,
-                               uint32_t nsym, uint32_t dim) {
-  switch (dim) {
-    case 1:
-      return vq_run2<1>(cur, book, r0, r1, offs, nsym);
-    case 2:
-      return vq_run2<2>(cur, book, r0, r1, offs, nsym);
-    case 3:
-      return vq_run2<3>(cur, book, r0, r1, offs, nsym);
-    case 4:
-      return vq_run2<4>(cur, book, r0, r1, offs, nsym);
-    case 6:
-      return vq_run2<6>(cur, book, r0, r1, offs, nsym);
-    default:
-      return vq_run2<8>(cur, book, r0, r1, offs, nsym);
-  }
+  return vq_core<DIM>(
+      cur, book, nsym, [&](const float* __restrict ve, uint32_t k) {
+        const uint32_t base = offs + k * DIM;
+        float* __restrict ra = (base & 1) ? r1 : r0;
+        float* __restrict rb = (base & 1) ? r0 : r1;
+        const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+        for (uint32_t j = 0; 2 * j < DIM; ++j) ra[qa + j] += ve[2 * j];
+        for (uint32_t j = 0; 2 * j + 1 < DIM; ++j)
+          rb[qb + j] += ve[2 * j + 1];
+      });
 }
 
 // Dim dispatch for vq_run. Callers must check vq_run_supported(dim)
@@ -226,6 +176,25 @@ static inline bool vq_run_dim(BitCursor* cur, const Codebook& book,
       return vq_run<6>(cur, book, out, nsym);
     default:
       return vq_run<8>(cur, book, out, nsym);
+  }
+}
+
+static inline bool vq_run2_dim(BitCursor* cur, const Codebook& book,
+                               float* r0, float* r1, uint32_t offs,
+                               uint32_t nsym, uint32_t dim) {
+  switch (dim) {
+    case 1:
+      return vq_run2<1>(cur, book, r0, r1, offs, nsym);
+    case 2:
+      return vq_run2<2>(cur, book, r0, r1, offs, nsym);
+    case 3:
+      return vq_run2<3>(cur, book, r0, r1, offs, nsym);
+    case 4:
+      return vq_run2<4>(cur, book, r0, r1, offs, nsym);
+    case 6:
+      return vq_run2<6>(cur, book, r0, r1, offs, nsym);
+    default:
+      return vq_run2<8>(cur, book, r0, r1, offs, nsym);
   }
 }
 
@@ -416,6 +385,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         no_residue[ch] = true;
         continue;
       }
+#ifdef LT_NO_FLOOR_EMIT
+      (void)0;
+#endif
       // amplitude reconstruction (spec 7.2.4 part 1), libvorbis-exact
       // (verified against libvorbis 1.3.7 floor1_inverse1 by disassembly;
       // see lewton_tpu/floor.py floor1_amplitudes for the semantics —
@@ -453,6 +425,10 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       }
       // emit INDEX-SPACE values (fit*multiplier clamped to 0..255) in
       // sorted-x order — libvorbis's floor1_inverse2 render endpoints
+#ifdef LT_NO_FLOOR_EMIT  // bench-only knockout (skips fit + emit)
+      f_kind[ch] = 1;
+      continue;
+#endif
       int32_t* ys = f1_ys + (size_t)ch * P;
       uint8_t* fs = f1_flags + (size_t)ch * P;
       for (size_t i = 0; i < values; ++i) {
@@ -477,6 +453,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
   }
 
   // ---- residues per submap ----
+#ifdef LT_NO_RESIDUE  // bench-only knockout for cost attribution
+  return LT_OK;
+#endif
   size_t n_submaps = mapping.submap_floor.size();
   std::vector<float>& inter = sc.inter;  // type-2 interleave scratch
   for (size_t sm = 0; sm < n_submaps; ++sm) {
@@ -487,6 +466,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
     const uint32_t res_idx = mapping.submap_residue[sm];
     const Residue& r = st->setup.residues[res_idx];
     const std::vector<uint8_t>& class_lut = st->class_luts[res_idx];
+    const uint8_t pass_used = st->pass_used[res_idx];
     if (ch_cnt == 0) continue;
 
     // channel vectors: pointers into the output residue slices
@@ -518,6 +498,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         std::vector<uint32_t>& cl = sc.cl;
         bool eop = false;
         for (int pass = 0; pass < 8 && !eop; ++pass) {
+          if (pass > 0 && !(pass_used & (1u << pass))) continue;
           uint32_t pc = 0;
           while (pc < partitions_to_read && !eop) {
             if (pass == 0) {
@@ -632,6 +613,7 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
       std::vector<uint32_t>& cl = sc.cl;
       bool eop = false;
       for (int pass = 0; pass < 8 && !eop; ++pass) {
+        if (pass > 0 && !(pass_used & (1u << pass))) continue;
         uint32_t pc = 0;
         while (pc < partitions_to_read && !eop) {
           if (pass == 0) {
@@ -754,8 +736,14 @@ Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
   st->P = P;
   st->Omax = Omax;
   st->class_luts.resize(st->setup.residues.size());
+  st->pass_used.resize(st->setup.residues.size());
   for (size_t ri = 0; ri < st->setup.residues.size(); ++ri) {
     const lt::Residue& r = st->setup.residues[ri];
+    uint8_t pmask = 0;
+    for (const auto& row : r.books)
+      for (int p = 0; p < 8; ++p)
+        if (row[p] >= 0) pmask |= (uint8_t)(1u << p);
+    st->pass_used[ri] = pmask;
     if (r.classbook >= st->setup.codebooks.size()) continue;
     const lt::Codebook& cb = st->setup.codebooks[r.classbook];
     uint32_t cpc = cb.dimensions, entries = cb.entries;
@@ -921,6 +909,83 @@ int lt_decode_chunk_batch(Stream* st, const uint8_t* buf,
   decode_batch_impl<float>(lt_decode_chunk, st, buf, offs, lens, counts, S,
                            T, mode, prevf, nextf, status, residue, f_kind,
                            f1_ys, f1_flags, f0_cosc, f0_amp, rw, n_threads);
+  return S;
+}
+
+// Zero-copy variant: per-STREAM base pointers (bufs[s]) with offsets into
+// each stream's own demux blob. Exists because the list-of-bytes batch
+// entry re-joins every packet's bytes per chunk on the Python side — the
+// join + ctypes marshaling measured ~2.6x over the raw decode loop at
+// production shapes. The demuxer already holds all packet bytes
+// contiguously; this entry decodes straight out of those blobs.
+int lt_decode_chunk_batch_v(Stream* st, const uint8_t* const* bufs,
+                            const uint64_t* offs, const uint64_t* lens,
+                            const int32_t* counts, int S, int T,
+                            int32_t* mode, uint8_t* prevf, uint8_t* nextf,
+                            uint8_t* status, float* residue, uint8_t* f_kind,
+                            int32_t* f1_ys, uint8_t* f1_flags,
+                            float* f0_cosc, float* f0_amp, int rw,
+                            int n_threads) {
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  auto run = [&](int s0, int s1) {
+    for (int s = s0; s < s1; ++s) {
+      const size_t b = (size_t)s * T;
+      lt_decode_chunk(st, bufs[s], offs + b, lens + b, counts[s], mode + b,
+                      prevf + b, nextf + b, status + b, residue + b * C * R,
+                      f_kind + b * C, f1_ys + b * C * P,
+                      f1_flags + b * C * P, f0_cosc + b * C * Om,
+                      f0_amp + b * C, rw);
+    }
+  };
+  if (n_threads <= 1 || S <= 1) {
+    run(0, S);
+    return S;
+  }
+  int nt = n_threads < S ? n_threads : S;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int k = 0; k < nt; ++k) {
+    int s0 = (int)((int64_t)S * k / nt), s1 = (int)((int64_t)S * (k + 1) / nt);
+    ts.emplace_back(run, s0, s1);
+  }
+  for (auto& t : ts) t.join();
+  return S;
+}
+
+int lt_decode_chunk_batch_v_i16(Stream* st, const uint8_t* const* bufs,
+                                const uint64_t* offs, const uint64_t* lens,
+                                const int32_t* counts, int S, int T,
+                                int32_t* mode, uint8_t* prevf,
+                                uint8_t* nextf, uint8_t* status,
+                                int16_t* residue, uint8_t* f_kind,
+                                int32_t* f1_ys, uint8_t* f1_flags,
+                                float* f0_cosc, float* f0_amp, int rw,
+                                int n_threads) {
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  auto run = [&](int s0, int s1) {
+    for (int s = s0; s < s1; ++s) {
+      const size_t b = (size_t)s * T;
+      lt_decode_chunk_i16(st, bufs[s], offs + b, lens + b, counts[s],
+                          mode + b, prevf + b, nextf + b, status + b,
+                          residue + b * C * R, f_kind + b * C,
+                          f1_ys + b * C * P, f1_flags + b * C * P,
+                          f0_cosc + b * C * Om, f0_amp + b * C, rw);
+    }
+  };
+  if (n_threads <= 1 || S <= 1) {
+    run(0, S);
+    return S;
+  }
+  int nt = n_threads < S ? n_threads : S;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int k = 0; k < nt; ++k) {
+    int s0 = (int)((int64_t)S * k / nt), s1 = (int)((int64_t)S * (k + 1) / nt);
+    ts.emplace_back(run, s0, s1);
+  }
+  for (auto& t : ts) t.join();
   return S;
 }
 

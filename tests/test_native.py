@@ -99,3 +99,31 @@ def test_entropy_parity(corpus_dir, name):
             np.testing.assert_array_equal(a, b, err_msg=k)
         else:
             assert np.array_equal(a, b), k
+
+
+def test_packet_spans_zero_copy_batch_parity(corpus_dir):
+    """decode_chunk_batch_view (PacketSpans zero-copy path) must produce
+    byte-identical frames to the list-of-bytes batch entry."""
+    import numpy as np
+
+    from lewton_tpu import native
+    from lewton_tpu.inside_ogg import read_headers
+    from lewton_tpu.models.decoder import StreamDecoder
+    from lewton_tpu.ogg import PacketReader
+
+    data = open(os.path.join(corpus_dir, "stereo_44k_q3.ogg"), "rb").read()
+    rdr = PacketReader(data)
+    headers, _ = read_headers(rdr)
+    spans, _, _, _, _ = native.demux_spans(data)
+    audio_spans = spans[3:]
+    audio_bytes = [audio_spans[i] for i in range(len(audio_spans))]
+    assert isinstance(audio_bytes[0], bytes)
+
+    sd = StreamDecoder(headers.ident, headers.setup, chunk=32,
+                       raw_headers=(headers.raw_ident, headers.raw_setup))
+    S = 3
+    fr_bytes = sd.entropy_chunk_batch([audio_bytes[:32]] * S)
+    fr_spans = sd.entropy_chunk_batch([audio_spans[:32]] * S)
+    assert set(fr_bytes) == set(fr_spans)
+    for k in fr_bytes:
+        np.testing.assert_array_equal(fr_bytes[k], fr_spans[k], err_msg=k)
