@@ -173,10 +173,16 @@ def check_conformance(args) -> None:
     # interpret-mode tests cannot see
     from tools import vorbisref as vr
     from tools.craft import VARIANTS, build_stream
+    from tools.floor0_stream import build_stream as build_f0
     import tempfile
 
-    for name, spec in sorted(VARIANTS.items()):
-        data = build_stream(spec)
+    crafted = {name: build_stream(spec)
+               for name, spec in sorted(VARIANTS.items())}
+    # floor0 corners: strided type-0 writes; floor0 x square-polar coupling
+    crafted["f0_restype0"] = build_f0(residue_type=0)
+    crafted["f0_coupled_stereo"] = build_f0(channels=2, submaps=1,
+                                            residue_type=2, coupling=True)
+    for name, data in crafted.items():
         with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
             f.write(data)
             f.flush()

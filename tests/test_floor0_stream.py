@@ -43,6 +43,9 @@ def test_floor0_stream_all_backends(stream_and_golden, backend):
 @pytest.mark.parametrize("variant", [
     {"residue_type": 0},               # strided VQ writes (no encoder emits)
     {"channels": 2, "submaps": 2},     # multi-submap channel muxing
+    # floor0 curves scaling square-polar-COUPLED type-2 residues — the
+    # floor0 x coupling combination no corpus file reaches
+    {"channels": 2, "submaps": 1, "residue_type": 2, "coupling": True},
 ])
 def test_crafted_variants(tmp_path, backend, variant):
     from tools import vorbisref as vr

@@ -167,6 +167,13 @@ class F1Spec:
     two_submaps: bool = False
     xs2: tuple = (8, 24, 40, 72, 104, 120)
     residue_end2: int = 48
+    #: residue begin > 0: the decode offset base every partition adds
+    #: (spec 8.6.2) — no corpus or crafted stream exercised it before
+    residue_begin: int = 0
+    #: stereo, THREE modes over TWO mappings: mode0 short/uncoupled,
+    #: mode1 short/coupled, mode2 long/coupled (square-polar coupling +
+    #: multi-mapping mode dispatch in one stream)
+    three_modes_coupled: bool = False
 
 
 def _res_cb(spec: F1Spec) -> CB:
@@ -190,6 +197,13 @@ def _res_cb(spec: F1Spec) -> CB:
         lens = [2, None, 2, 3, None, 3, None, 2]
         return CB(2, lens, lookup=2, minimum=-1.0, delta=1.0, value_bits=2,
                   mults=[(i * 7) % 3 for i in range(16)])
+    if spec.res_book == "lookup1":
+        # lookup type 1: the VQ table is the multiplicand lattice
+        # (index e -> mults[(e / lv^d) % lv] per dim) — only the header
+        # cache path differs from lookup 2, which is exactly what needs
+        # the coverage. lv = lookup1_values(4, 2) = 2; values {-1, +1}
+        return CB(2, [2] * 4, lookup=1, minimum=-1.0, delta=2.0,
+                  value_bits=2, mults=[0, 1])
     if spec.res_book == "seq_p":
         # sequence_p: VQ components accumulate across dims (spec 3.2.1
         # "lookup1/2 with sequence flag"); dims 4 makes the accumulation long
@@ -201,9 +215,10 @@ def _res_cb(spec: F1Spec) -> CB:
 
 def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
     # --- ident ---
+    stereo = spec.two_submaps or spec.three_modes_coupled
     w = BitWriter().write_bytes(b"\x01vorbis")
     w.write_bits(0, 32)
-    w.write_bits(2 if spec.two_submaps else 1, 8)
+    w.write_bits(2 if stereo else 1, 8)
     w.write_bits(spec.rate, 32)
     for _ in range(3):
         w.write_bits(0, 32)
@@ -253,7 +268,7 @@ def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
 
     def write_residue(end):
         w.write_bits(1, 16)  # type 1
-        w.write_bits(0, 24)  # begin
+        w.write_bits(spec.residue_begin, 24)
         w.write_bits(end, 24)
         w.write_bits(spec.partition_size - 1, 24)
         w.write_bits(2 - 1, 6)  # classifications
@@ -274,6 +289,33 @@ def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
     if spec.two_submaps:
         write_residue(spec.residue_end2)
     # mapping
+    if spec.three_modes_coupled:
+        # TWO mappings over one floor/residue: M0 uncoupled, M1 with one
+        # square-polar step (mag=ch0, ang=ch1)
+        w.write_bits(1, 6)  # mapping count - 1
+        for coupled in (False, True):
+            w.write_bits(0, 16)  # mapping type 0
+            w.write_flag(False)  # 1 submap
+            if coupled:
+                w.write_flag(True)
+                w.write_bits(0, 8)  # coupling steps - 1
+                w.write_bits(0, 1)  # magnitude = ch0 (ilog(C-1) = 1 bit)
+                w.write_bits(1, 1)  # angle = ch1
+            else:
+                w.write_flag(False)
+            w.write_bits(0, 2)
+            w.write_bits(0, 8)  # time
+            w.write_bits(0, 8)  # submap floor
+            w.write_bits(0, 8)  # submap residue
+        # modes: (short, M0), (short, M1), (long, M1)
+        w.write_bits(2, 6)  # mode count - 1
+        for bf, m in ((0, 0), (0, 1), (1, 1)):
+            w.write_bits(bf, 1)
+            w.write_bits(0, 16)
+            w.write_bits(0, 16)
+            w.write_bits(m, 8)
+        w.write_bits(1, 1)
+        return ident, comment, w.getvalue()
     w.write_bits(0, 6)
     w.write_bits(0, 16)
     if spec.two_submaps:
@@ -325,6 +367,8 @@ def _write_code(w: BitWriter, cb: CB, entry: int) -> None:
 
 
 def _is_long(spec: F1Spec, seed: int) -> bool:
+    # two-modes: long every third packet; three-modes-coupled: mode
+    # seed % 3 == 2 is the long/coupled one — same predicate
     return spec.two_modes and (seed % 3) == 2
 
 
@@ -342,70 +386,90 @@ def audio_packet(spec: F1Spec, seed: int, prev_long: bool,
     w = BitWriter()
     w.write_bits(0, 1)
     long_blk = _is_long(spec, seed)
-    if spec.two_modes:
+    if spec.three_modes_coupled:
+        # three modes: 0 short/uncoupled, 1 short/coupled, 2 long/coupled
+        w.write_bits(seed % 3, 2)  # ilog(2) = 2 bits
+    elif spec.two_modes:
         w.write_bits(1 if long_blk else 0, 1)  # ilog(1) = 1 bit
     # (single mode: zero mode bits)
     if long_blk:
         w.write_bits(1 if prev_long else 0, 1)
         w.write_bits(1 if next_long else 0, 1)
 
-    # ---- floor1 ----
+    # ---- floor1 (per channel for the complete-stereo variant) ----
     rng_max = [256, 128, 86, 64][spec.multiplier - 1]
     b = ilog(rng_max - 1)
-    w.write_flag(True)  # nonzero
     phase = seed % 4
-    if phase == 0:  # benign small posts
-        y0, y1 = 10 % rng_max, 30 % rng_max
-        vals = [(rng >> (3 * i)) % 8 for i in range(6)]
-    elif phase == 1:  # val >= room escapes (highroom/lowroom branches)
-        y0, y1 = 2, rng_max - 3
-        vals = [min(spec.y_entries - 1, rng_max - 1 - i) for i in range(6)]
-    elif phase == 2:  # full-range vals: val can exceed the floor range ->
-        # render_point against huge neighbors wraps in u32 and clamps
-        y0, y1 = 0, 1
-        vals = [(spec.y_entries - 1 - 7 * i) % spec.y_entries
-                for i in range(6)]
-    else:  # mixed
-        y0, y1 = (rng >> 5) % rng_max, (rng >> 11) % rng_max
-        vals = [(rng >> (2 * i + 1)) % spec.y_entries for i in range(6)]
-    w.write_bits(y0, b)
-    w.write_bits(y1, b)
-    vi = 0
-    for _part in range(2):  # partitions=2, class 0, cdim=3, cbits=1
-        cval = (rng >> (7 + _part * 3)) & 7
-        _write_code(w, master, cval)
-        for d in range(3):
-            bk = cval & 1
-            cval >>= 1
-            if bk == 0 and spec.absent_subclass_book:
-                vi += 1  # absent book: y decodes as 0, no bits
-                continue
-            book = ybook  # both subclass slots point at the y book
-            _write_code(w, book, vals[vi] % spec.y_entries)
-            vi += 1
 
-    # ---- residue (type 1, one channel) ----
+    def write_floor(rng):
+        w.write_flag(True)  # nonzero
+        if phase == 0:  # benign small posts
+            y0, y1 = 10 % rng_max, 30 % rng_max
+            vals = [(rng >> (3 * i)) % 8 for i in range(6)]
+        elif phase == 1:  # val >= room escapes (highroom/lowroom branches)
+            y0, y1 = 2, rng_max - 3
+            vals = [min(spec.y_entries - 1, rng_max - 1 - i)
+                    for i in range(6)]
+        elif phase == 2:  # full-range vals: val can exceed the floor range
+            # -> render_point against huge neighbors wraps in u32 + clamps
+            y0, y1 = 0, 1
+            vals = [(spec.y_entries - 1 - 7 * i) % spec.y_entries
+                    for i in range(6)]
+        else:  # mixed
+            y0, y1 = (rng >> 5) % rng_max, (rng >> 11) % rng_max
+            vals = [(rng >> (2 * i + 1)) % spec.y_entries for i in range(6)]
+        w.write_bits(y0, b)
+        w.write_bits(y1, b)
+        vi = 0
+        for _part in range(2):  # partitions=2, class 0, cdim=3, cbits=1
+            cval = (rng >> (7 + _part * 3)) & 7
+            _write_code(w, master, cval)
+            for d in range(3):
+                bk = cval & 1
+                cval >>= 1
+                if bk == 0 and spec.absent_subclass_book:
+                    vi += 1  # absent book: y decodes as 0, no bits
+                    continue
+                book = ybook  # both subclass slots point at the y book
+                _write_code(w, book, vals[vi] % spec.y_entries)
+                vi += 1
+
+    nch = 2 if spec.three_modes_coupled else 1
+    for ch in range(nch):
+        write_floor(rng if ch == 0 else ((rng >> 7) | (rng << 9)) &
+                    0xFFFFFFFF)
+
+    # ---- residue (type 1; classwords/codewords interleave across the
+    # submap's channels per spec 8.6.2) ----
     n = (1 << spec.bs1_exp) if long_blk else (1 << spec.bs0_exp)
     actual = n // 2
+    begin = min(spec.residue_begin, actual)
     end = min(spec.residue_end, actual)
-    n_to_read = end  # begin = 0
-    parts = n_to_read // spec.partition_size
+    parts = (end - begin) // spec.partition_size
     # classbook dims=2: one classword covers 2 partitions
     usable = [i for i, c in enumerate(resvq.codes()) if c is not None]
     vq_words = spec.partition_size // resvq.dims
+    cls_ch = []  # per channel: partition class schedule
+    for ch in range(nch):
+        r = (rng >> ch) | (ch << 13)
+        cls_ch.append([(r >> i) & 1 for i in range(parts)])
     ci = 0
     while ci < parts:
-        cls = [(rng >> (ci + k)) & 1 for k in range(2)]
-        _write_code(w, classbook, cls[0] * 2 + cls[1])
+        for ch in range(nch):  # pass-0 classwords, channel-interleaved
+            cls = cls_ch[ch]
+            _write_code(w, classbook, cls[ci] * 2 +
+                        (cls[ci + 1] if ci + 1 < parts else 0))
         for k in range(2):
             if ci + k >= parts:
                 break
-            if cls[k] == 1:
-                for i in range(vq_words):
-                    # sweep the whole book incl. the deepest codewords
-                    e = usable[(rng >> (2 * i + ci)) % len(usable)] \
-                        if phase != 2 else usable[-1 - (i % 2)]
-                    _write_code(w, resvq, e)
+            for ch in range(nch):
+                if cls_ch[ch][ci + k] == 1:
+                    for i in range(vq_words):
+                        # sweep the whole book incl. the deepest codewords
+                        e = usable[(rng >> (2 * i + ci + k + ch)) %
+                                   len(usable)] \
+                            if phase != 2 else usable[-1 - (i % 2)]
+                        _write_code(w, resvq, e)
         ci += 2
     return w.getvalue()
 
@@ -457,6 +521,19 @@ VARIANTS = {
     # ch1->submap1/floorB/residueB (different post layouts and ends) —
     # the mapping mux path (spec 4.2.4.2) no real encoder emits
     "f1_two_submaps": F1Spec(two_submaps=True),
+    # mixed EXTREME blocksizes in one stream: 64-sample short blocks with
+    # 8192-sample long blocks (window geometry corner + the Pallas kernel
+    # gates' n0 fallback boundary)
+    "f1_bs64_8192": F1Spec(bs0_exp=6, bs1_exp=13, residue_end=512,
+                           partition_size=32),
+    # multiplier 3 -> floor1 range 86 (the only non-power-of-two range)
+    "f1_mult3_range86": F1Spec(multiplier=3),
+    # residue begin > 0: every partition offset is begin-based
+    "f1_begin32": F1Spec(residue_begin=32, residue_end=64),
+    # residue VQ through a lookup-TYPE-1 codebook (lattice expansion)
+    "f1_lookup1_book": F1Spec(res_book="lookup1"),
+    # stereo, three modes over two mappings, square-polar coupling
+    "f1_three_modes_coupled": F1Spec(three_modes_coupled=True),
 }
 
 

@@ -59,7 +59,8 @@ def _codebook(w: BitWriter, dims: int, entries: int, length: int,
 
 
 def build_headers(residue_type: int = 1, channels: int = 1,
-                  submaps: int = 1) -> tuple[bytes, bytes, bytes]:
+                  submaps: int = 1,
+                  coupling: bool = False) -> tuple[bytes, bytes, bytes]:
     # ident
     w = BitWriter().write_bytes(b"\x01vorbis")
     w.write_bits(0, 32)  # version
@@ -118,7 +119,16 @@ def build_headers(residue_type: int = 1, channels: int = 1,
         w.write_bits(submaps - 1, 4)
     else:
         w.write_flag(False)  # 1 submap
-    w.write_flag(False)  # no coupling
+    if coupling:
+        # one square-polar step: magnitude=ch0, angle=ch1 — floor0 curves
+        # scaling COUPLED residues is a combination no corpus or crafted
+        # stream reached before (VERDICT r2 missing #2)
+        w.write_flag(True)
+        w.write_bits(0, 8)  # coupling steps - 1
+        w.write_bits(0, 1)  # magnitude (ilog(channels-1) = 1 bit)
+        w.write_bits(1, 1)  # angle
+    else:
+        w.write_flag(False)  # no coupling
     w.write_bits(0, 2)  # reserved
     if submaps > 1:
         for ch in range(channels):
@@ -198,8 +208,9 @@ def ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
 
 def build_stream(n_packets: int = 40, serial: int = 0xF10012,
                  residue_type: int = 1, channels: int = 1,
-                 submaps: int = 1) -> bytes:
-    ident, comment, setup = build_headers(residue_type, channels, submaps)
+                 submaps: int = 1, coupling: bool = False) -> bytes:
+    ident, comment, setup = build_headers(residue_type, channels, submaps,
+                                          coupling)
     pages = [ogg_page(serial, 0, 0, [ident], bos=True)]
     pages.append(ogg_page(serial, 1, 0, [comment, setup]))
     pcks = [
