@@ -59,6 +59,11 @@ def main() -> None:
     )
     args = ap.parse_args()
     if args.frontend:
+        # host-only surface: never touch the device (StreamDecoder's setup
+        # tables would otherwise dial the TPU tunnel just to be discarded)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         bench_frontend(args)
         return
     if args.imdct_precision:
