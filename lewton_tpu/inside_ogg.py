@@ -104,6 +104,9 @@ class OggStreamReader:
         #: set by read_next_audio_packet when a chained-stream re-init just
         #: happened; the batch (jax) path uses it to restart its decoder.
         self._fresh_link = False
+        #: True until any audio packet is consumed or the reader seeks —
+        #: gates the one-call native whole-stream path (read_all_i16)
+        self._pristine = True
 
     # ------------------------------------------------------------------ #
 
@@ -175,6 +178,7 @@ class OggStreamReader:
     def read_next_audio_packet(self) -> Packet | None:
         """Next audio packet of the current stream; handles chained-ogg
         re-init (ref: lewton src/inside_ogg.rs:114-158)."""
+        self._pristine = False
         while True:
             pck = self.rdr.read_packet()
             if pck is None:
@@ -346,9 +350,29 @@ class OggStreamReader:
 
         With ``backend="jax"`` the i16 conversion happens on device in the
         fused overlap+i16 pass (absgp truncation only drops samples, so
-        truncating the i16 rows is equivalent to truncating f32 first)."""
+        truncating the i16 rows is equivalent to truncating f32 first).
+
+        With ``backend="native"`` on a fresh reader the whole decode runs
+        as ONE native call (demux -> chained headers -> synthesis -> i16;
+        native/lt_file.cc) — the per-packet Python loop costs more wall
+        time than the C++ decode itself. Streams the fast path cannot
+        represent (chain links changing channel count or growing the
+        blocksize) fall back to the loop below, identical output."""
         if self.backend == "jax":
             return self._read_all_jax(i16=True).T
+        if self.backend == "native" and self._pristine:
+            from . import native
+
+            if isinstance(self.rdr, native.NativePacketReader):
+                res = native.decode_ogg_i16(
+                    self.rdr._data, self.ident_hdr.channels,
+                    1 << self.ident_hdr.blocksize_1)
+                if res is not None:
+                    pcm, absgp = res
+                    self.rdr._i = len(self.rdr._pcks)  # stream consumed
+                    self.cur_absgp = absgp
+                    self._pristine = False
+                    return pcm.T
         return samples_mod.to_i16(self.read_all_planar_f32()).T
 
     # ------------------------------------------------------------------ #
@@ -432,6 +456,7 @@ class OggStreamReader:
     def seek_absgp_pg(self, absgp: int) -> None:
         """Page-granularity seek; resets decode state
         (ref: lewton src/inside_ogg.rs:307-313)."""
+        self._pristine = False
         self.rdr.seek_absgp(absgp)
         self.cur_absgp = None
         self._reset_decode_state()

@@ -110,6 +110,9 @@ def _load():
     lib.lt_ogg_packet_count.argtypes = [C.c_void_p]
     lib.lt_ogg_packet_meta.argtypes = [C.c_void_p, u64p, u32p, u8p, u64p, u64p]
     lib.lt_ogg_packet_data.argtypes = [C.c_void_p, u8p]
+    i64p = C.POINTER(C.c_int64)
+    lib.lt_decode_ogg_i16.restype = C.c_int64
+    lib.lt_decode_ogg_i16.argtypes = [C.c_void_p, i16p, C.c_int64, i64p]
     _lib = lib
     return lib
 
@@ -373,6 +376,41 @@ class PacketSpans:
         return PacketSpans(blob, offs, lens)
 
 
+def decode_ogg_i16(data: bytes, channels: int, n1: int):
+    """Whole-file decode in ONE native call: Ogg bytes -> (planar i16
+    [channels, total], final_absgp). Returns None when the stream needs
+    the Python path (chained link with a different channel count or a
+    larger blocksize, or a chain-header parse the Python layer should
+    report) — the caller falls back to the per-packet loop. Raises
+    AudioBadFormat on an undecodable audio packet (loop-path parity)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("liblewton_host.so not built")
+    src = np.frombuffer(data, dtype=np.uint8)
+    h = lib.lt_ogg_new(_u8(src), len(data))
+    if not h:
+        from ..errors import OggError
+
+        raise OggError("native ogg demux failed (allocation)")
+    try:
+        count = int(lib.lt_ogg_packet_count(h))
+        # cap: every audio packet emits at most 3*n1/4 samples/channel
+        cap = max(count, 1) * (3 * n1 // 4) + 8
+        pcm = np.zeros((channels, cap), np.int16)
+        absgp = C.c_int64(0)
+        n = int(lib.lt_decode_ogg_i16(h, _ptr(pcm, C.c_int16), cap,
+                                      C.byref(absgp)))
+    finally:
+        lib.lt_ogg_free(h)
+    if n == -1:
+        from ..errors import AudioBadFormat
+
+        raise AudioBadFormat("undecodable packet")
+    if n < 0:
+        return None  # -2/-3/-4: fall back to the Python loop
+    return pcm[:, :n], int(absgp.value)
+
+
 def demux_spans(data: bytes):
     """Demux a whole Ogg byte stream natively -> (PacketSpans over ALL
     packets, serials u32 [n], flags u8 [n], absgp u64 [n], pgran u64 [n]).
@@ -513,6 +551,7 @@ class NativePacketReader:
 
     def __init__(self, data: bytes):
         self._pcks = demux(data)
+        self._data = data  # kept for the one-call whole-stream fast path
         self._i = 0
 
     def read_packet(self):
