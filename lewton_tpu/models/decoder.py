@@ -602,9 +602,21 @@ def decode_frames_core(
             # half-width form: the GEMM emits only the n/2 distinct
             # DCT-IV values per transform (33% less MXU work at matched
             # precision); the overlap kernel mirror-expands in VMEM
-            long_a, short_a = dct4_batch_parts_ct(
-                spectra_ct, dct4_from_imdct(cs.imdct_m0),
-                dct4_from_imdct(cs.imdct_m1))
+            from ..ops import imdct as imdct_mod
+
+            if (imdct_mod.USE_DCT4_SPLIT
+                    and cs.w_eff * 4 >= cs.n1 * 3 and cs.n1 >= 512):
+                # Wang split: half the long-GEMM FLOPs (ops/imdct.py);
+                # only pays when w_eff barely clips (the split loses the
+                # K = w_eff clip) and the transform is MXU-sized
+                long_a, short_a = imdct_mod.dct4_split_batch_parts_ct(
+                    spectra_ct, cs.n0, cs.n1,
+                    dct4_from_imdct(cs.imdct_m0),
+                    dct4_from_imdct(cs.imdct_m1))
+            else:
+                long_a, short_a = dct4_batch_parts_ct(
+                    spectra_ct, dct4_from_imdct(cs.imdct_m0),
+                    dct4_from_imdct(cs.imdct_m1))
             audio = (long_a, short_a) if short_a is not None else long_a
             return overlap_add_i16_kernel_batch(
                 audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],

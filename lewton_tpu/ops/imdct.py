@@ -170,3 +170,66 @@ def dct4_batch_parts_ct(
     short_x = imdct_einsum("ctk,km->ctm",
                            spectra_ct[:, :, : mx0.shape[0]], mx0)
     return long_x, short_x
+
+
+def _dct4_via_split(spectra_ct: jnp.ndarray, n: int) -> jnp.ndarray:
+    """DCT-IV_N of the last axis via the one-level Wang split (see
+    tables.dct4_split_tables): two half-size GEMMs + elementwise
+    butterflies — half the MXU FLOPs of the direct [K, N] matrix form at
+    the same PRECISION. N = n/2; input may be w_eff-clipped (zero past
+    its width). Output matches the direct form within ~2 f32 ulp (extra
+    twiddle/combine roundings); the on-chip gate arbitrates whether that
+    fits the +-2 LSB contract before this becomes a default path."""
+    from ..tables import dct4_split_tables
+
+    N = n // 2
+    H = N // 2
+    t2, s2, cos_tw, sin_tw = (jnp.asarray(a) for a in dct4_split_tables(n))
+    K = spectra_ct.shape[-1]
+    a = spectra_ct[..., :H]
+    if K < N:
+        pad = [(0, 0)] * (spectra_ct.ndim - 1) + [(0, N - K)]
+        full = jnp.pad(spectra_ct, pad)
+    else:
+        full = spectra_ct
+    if K <= H:
+        apad = [(0, 0)] * (a.ndim - 1) + [(0, H - K)]
+        a = jnp.pad(a, apad)
+        b = jnp.zeros_like(a)
+    else:
+        b = full[..., H:][..., ::-1]  # b_k = x_{N-1-k}
+    c = cos_tw * a + sin_tw * b
+    d = cos_tw * b - sin_tw * a
+    u = imdct_einsum("ctk,kj->ctj", c, t2)
+    v = imdct_einsum("ctk,kj->ctj", d, s2)
+    # X_0 = U_0; X_{2j-1} = U_j - V_{j-1}; X_{2j} = U_j + V_{j-1};
+    # X_{N-1} = -V_{H-1}
+    uh = u[..., 1:]
+    vh = v[..., : H - 1]
+    mid = jnp.stack([uh - vh, uh + vh], axis=-1).reshape(
+        u.shape[:-1] + (2 * H - 2,))
+    return jnp.concatenate([u[..., :1], mid, -v[..., H - 1:]], axis=-1)
+
+
+#: opt-in: route the x-representation long-block transform through the
+#: split (half the GEMM FLOPs). Ship-gating requires an on-chip
+#: `bench.py --check` artifact (CPU cannot see bf16 pass structure).
+USE_DCT4_SPLIT = False
+
+
+def dct4_split_batch_parts_ct(
+    spectra_ct: jnp.ndarray,  # f32 [C, T, n1/2] (channel-major)
+    n0: int,
+    n1: int,
+    mx0: jnp.ndarray,  # direct DCT-IV matrices (short-block + fallback)
+    mx1: jnp.ndarray,
+):
+    """dct4_batch_parts_ct with the LONG transform via the split (the
+    long GEMM is where the FLOPs are: the short one is n0/n1 = 8x
+    smaller in the flagship shapes and keeps the direct form)."""
+    long_x = _dct4_via_split(spectra_ct, n1)
+    if n0 == n1:
+        return long_x, None
+    short_x = imdct_einsum("ctk,km->ctm",
+                           spectra_ct[:, :, : mx0.shape[0]], mx0)
+    return long_x, short_x

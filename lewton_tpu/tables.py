@@ -72,6 +72,42 @@ def imdct_matrix(n: int, dtype=np.float32) -> np.ndarray:
     return m
 
 
+@functools.cache
+def dct4_split_tables(n: int, dtype=np.float32):
+    """One-level Wang split of the DCT-IV the x-representation IMDCT path
+    computes (ops/imdct.dct4_batch_parts_ct): X = DCT-IV_N(spec) with
+    N = n/2 factors into two half-size GEMMs plus elementwise butterflies,
+    HALVING the MXU FLOPs of the dominant kernel (K stays >= 128, so MXU
+    tiling is unaffected):
+
+        theta_k = pi (2k+1) / (4N),  H = N/2,  k in [0, H)
+        c_k = cos(theta_k) x_k + sin(theta_k) x_{N-1-k}
+        d_k = cos(theta_k) x_{N-1-k} - sin(theta_k) x_k
+        U = DCT-II_H(c),  V = DST-II_H(d)
+        X_0 = U_0;  X_{2j-1} = U_j - V_{j-1};  X_{2j} = U_j + V_{j-1};
+        X_{N-1} = -V_{H-1}
+
+    (identity verified exhaustively in tests/test_imdct.py against the
+    direct matrix). Returns (t2 [H, H], s2 [H, H], cos_tw [H], sin_tw [H])
+    with t2/s2 in the GEMM's [k, j] layout (pre-transposed: a transpose
+    inside jit costs ~50x the matmul that consumes it, see CLAUDE.md).
+    """
+    N = n // 2
+    H = N // 2
+    j = np.arange(H, dtype=np.float64)
+    k = np.arange(H, dtype=np.float64)
+    t2 = np.cos(np.pi / H * np.outer(k + 0.5, j))          # [k, j] DCT-II^T
+    s2 = np.sin(np.pi / H * np.outer(k + 0.5, j + 1.0))    # [k, j] DST-II^T
+    th = np.pi * (2 * k + 1) / (4 * N)
+    out = tuple(
+        np.ascontiguousarray(a, dtype=dtype)
+        for a in (t2, s2, np.cos(th), np.sin(th))
+    )
+    for a in out:
+        a.setflags(write=False)
+    return out
+
+
 def _bark(x: np.ndarray) -> np.ndarray:
     return (
         13.1 * np.arctan(0.00074 * x)

@@ -73,3 +73,59 @@ def test_bark_cos_omega_shape():
     assert np.abs(c).max() <= 1.0
     # map is monotone non-increasing in cos space
     assert (np.diff(c) <= 1e-7).all()
+
+
+def test_dct4_split_identity_exhaustive():
+    """Wang one-level split (tables.dct4_split_tables) == direct DCT-IV
+    matrix for every blocksize, on impulse vectors (exhaustive basis) in
+    f64 — the identity must be exact math, not approximately right."""
+    from lewton_tpu.tables import dct4_split_tables, imdct_matrix
+
+    for n in (64, 256, 2048):
+        N = n // 2
+        H = N // 2
+        # direct DCT-IV derived exactly like ops/imdct.dct4_from_imdct
+        m = imdct_matrix(n, dtype=np.float64)
+        direct = np.concatenate([-m[:, 3 * N // 2:], m[:, : N // 2]], axis=1)
+        t2, s2, ct, st = (a.astype(np.float64)
+                          for a in dct4_split_tables(n, dtype=np.float64))
+        x = np.eye(N)
+        a, b = x[:, :H], x[:, H:][:, ::-1]
+        c = ct * a + st * b
+        d = ct * b - st * a
+        u, v = c @ t2, d @ s2
+        uh, vh = u[:, 1:], v[:, : H - 1]
+        mid = np.stack([uh - vh, uh + vh], axis=-1).reshape(N, N - 2)
+        X = np.concatenate([u[:, :1], mid, -v[:, H - 1:]], axis=1)
+        assert np.abs(X - x @ direct).max() < 1e-9, n
+
+
+def test_dct4_split_batch_matches_direct():
+    """ops/imdct.dct4_split_batch_parts_ct vs dct4_batch_parts_ct on
+    random spectra (f32 CPU): near-identical (extra twiddle roundings
+    only), including w_eff-clipped inputs."""
+    import jax.numpy as jnp
+
+    from lewton_tpu.ops.imdct import (dct4_batch_parts_ct,
+                                      dct4_split_batch_parts_ct)
+    from lewton_tpu.tables import imdct_matrix
+
+    rng = np.random.default_rng(3)
+    n0, n1 = 256, 2048
+    m = imdct_matrix(n1)
+    N = n1 // 2
+    mx1 = np.concatenate([-m[:, 3 * N // 2:], m[:, : N // 2]], axis=1)
+    m0 = imdct_matrix(n0)
+    N0 = n0 // 2
+    mx0 = np.concatenate([-m0[:, 3 * N0 // 2:], m0[:, : N0 // 2]], axis=1)
+    for K in (N, 900):  # full width and a w_eff clip
+        spec = rng.standard_normal((2, 4, K)).astype(np.float32) * 40
+        da, ds = dct4_batch_parts_ct(
+            jnp.asarray(spec), jnp.asarray(mx0[:min(K, N0)]),
+            jnp.asarray(mx1[:K]))
+        sa, ss = dct4_split_batch_parts_ct(
+            jnp.asarray(spec), n0, n1, jnp.asarray(mx0[:min(K, N0)]),
+            jnp.asarray(mx1[:K]))
+        scale = np.abs(np.asarray(da)).max()
+        assert np.abs(np.asarray(sa) - np.asarray(da)).max() < 1e-5 * scale
+        assert np.abs(np.asarray(ss) - np.asarray(ds)).max() < 1e-5 * scale
