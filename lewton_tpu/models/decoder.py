@@ -42,7 +42,7 @@ from ..ops.floor_curve import (
 from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import (imdct_batch, imdct_batch_parts,
                          imdct_batch_parts_ct, dct4_batch_parts_ct,
-                         dct4_from_imdct)
+                         dct4_from_imdct, imdct_einsum)
 from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_batch, overlap_add_i16_batch,
                              overlap_add_i16_kernel_batch)
@@ -608,15 +608,23 @@ def decode_frames_core(
                     and cs.w_eff * 4 >= cs.n1 * 3 and cs.n1 >= 512):
                 # Wang split: half the long-GEMM FLOPs (ops/imdct.py);
                 # only pays when w_eff barely clips (the split loses the
-                # K = w_eff clip) and the transform is MXU-sized
-                long_a, short_a = imdct_mod.dct4_split_batch_parts_ct(
-                    spectra_ct, cs.n0, cs.n1,
-                    dct4_from_imdct(cs.imdct_m0),
-                    dct4_from_imdct(cs.imdct_m1))
-            else:
-                long_a, short_a = dct4_batch_parts_ct(
-                    spectra_ct, dct4_from_imdct(cs.imdct_m0),
-                    dct4_from_imdct(cs.imdct_m1))
+                # K = w_eff clip) and the transform is MXU-sized. The
+                # (U, V) halves go to the overlap kernel unrecombined —
+                # it zips them back into X in VMEM.
+                uv = imdct_mod.dct4_split_uv_ct(spectra_ct, cs.n1)
+                short_a = None
+                if cs.n0 != cs.n1:
+                    mx0 = dct4_from_imdct(cs.imdct_m0)
+                    short_a = imdct_einsum(
+                        "ctk,km->ctm", spectra_ct[:, :, : mx0.shape[0]], mx0)
+                return overlap_add_i16_kernel_batch(
+                    (uv, short_a), bf, fr["prev_flag"], fr["next_flag"],
+                    fr["valid"], cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+                    ct_in=True, x_rep=True, x_split=True,
+                )
+            long_a, short_a = dct4_batch_parts_ct(
+                spectra_ct, dct4_from_imdct(cs.imdct_m0),
+                dct4_from_imdct(cs.imdct_m1))
             audio = (long_a, short_a) if short_a is not None else long_a
             return overlap_add_i16_kernel_batch(
                 audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],

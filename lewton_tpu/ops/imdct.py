@@ -217,6 +217,35 @@ def _dct4_via_split(spectra_ct: jnp.ndarray, n: int) -> jnp.ndarray:
 USE_DCT4_SPLIT = False
 
 
+def dct4_split_uv_ct(spectra_ct: jnp.ndarray, n: int):
+    """The two Wang-split half-GEMMs WITHOUT the recombination: returns
+    (U, V) [C, T, n/4] each. The fused overlap kernel zips them back into
+    X in VMEM (ops/overlap_kernel._shuffle_zip/_combine_split), so no
+    XLA-side combine/concat pass ever materializes."""
+    from ..tables import dct4_split_tables
+
+    N = n // 2
+    H = N // 2
+    t2, s2, cos_tw, sin_tw = (jnp.asarray(a) for a in dct4_split_tables(n))
+    K = spectra_ct.shape[-1]
+    a = spectra_ct[..., :H]
+    if K <= H:
+        if K < H:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, H - K)])
+        b = jnp.zeros_like(a)
+    else:
+        full = spectra_ct
+        if K < N:
+            full = jnp.pad(
+                spectra_ct, [(0, 0)] * (spectra_ct.ndim - 1) + [(0, N - K)])
+        b = full[..., H:][..., ::-1]  # b_k = x_{N-1-k}
+    c = cos_tw * a + sin_tw * b
+    d = cos_tw * b - sin_tw * a
+    u = imdct_einsum("ctk,kj->ctj", c, t2)
+    v = imdct_einsum("ctk,kj->ctj", d, s2)
+    return u, v
+
+
 def dct4_split_batch_parts_ct(
     spectra_ct: jnp.ndarray,  # f32 [C, T, n1/2] (channel-major)
     n0: int,

@@ -183,7 +183,42 @@ def _rev_lanes(x, L: int):
     return x
 
 
-def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view):
+def _shuffle_zip(x, L: int):
+    """Perfect shuffle of the last dim (size L = 2H, power of two):
+    out[2j] = x[j], out[2j+1] = x[H+j]. The index map is a 1-bit rotation,
+    decomposed into adjacent-bit transpositions — each an XOR-exchange
+    stage built from a pair of circular rolls + select, the same primitive
+    family as :func:`_rev_lanes` (Mosaic has no lane gather/shuffle)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = L.bit_length() - 1
+    for pbit in range(k - 2, -1, -1):
+        b = 1 << pbit
+        bp = (j >> pbit) & 1
+        bq = (j >> (pbit + 1)) & 1
+        fwd = pltpu.roll(x, L - b, axis=x.ndim - 1)   # x[j + b]
+        bwd = pltpu.roll(x, b, axis=x.ndim - 1)       # x[j - b]
+        x = jnp.where(bp != bq, jnp.where(bp == 1, fwd, bwd), x)
+    return x
+
+
+def _combine_split(p, L: int):
+    """DCT-IV from the shuffled Wang-split pair stream P (P[2j] = U_j,
+    P[2j+1] = V_j; see ops/imdct._dct4_via_split for the identity):
+
+        X_0 = P_0;  X_{2j-1} = P_{2j} - P_{2j-1};
+        X_{2j} = P_{2j} + P_{2j-1};  X_{L-1} = -P_{L-1}
+
+    — two masked rolls; the edge rows fall out of zeroing the wrapped
+    lanes."""
+    j = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    nxt = pltpu.roll(p, L - 1, axis=p.ndim - 1)   # P[j + 1]
+    prv = pltpu.roll(p, 1, axis=p.ndim - 1)       # P[j - 1]
+    nxt = jnp.where(j == L - 1, jnp.float32(0.0), nxt)
+    prv = jnp.where(j == 0, jnp.float32(0.0), prv)
+    return jnp.where((j & 1) == 1, nxt - p, p + prv)
+
+
+def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False):
     """X-representation variant of :func:`_kernel`: inputs are the
     half-width DCT-IV outputs (see ops/imdct.dct4_batch_parts_ct), and
     every window region is reconstructed in VMEM from
@@ -192,10 +227,21 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view):
         audio[3M/2:2M] = -X[0:M/2]          (M = n/2 per blocksize)
 
     with the same selects, mix, masks and carry as the audio-form kernel
-    (bit-identical outputs, asserted by tests/test_overlap_kernel.py)."""
+    (bit-identical outputs, asserted by tests/test_overlap_kernel.py).
+
+    With ``split_in``, the long input arrives as the Wang-split halves
+    U, V (two refs, [.., n1/4] each — the GEMMs that produce them do half
+    the MXU work) and the kernel rebuilds X in VMEM via
+    :func:`_shuffle_zip` + :func:`_combine_split`."""
     it = iter(refs)
-    xa_ref = next(it)
-    xb_ref = next(it) if has_prev_view else xa_ref
+    if split_in:
+        xu_ref = next(it)
+        xv_ref = next(it)
+        xbu_ref = next(it) if has_prev_view else xu_ref
+        xbv_ref = next(it) if has_prev_view else xv_ref
+    else:
+        xa_ref = next(it)
+        xb_ref = next(it) if has_prev_view else xa_ref
     sa_ref = next(it) if has_short else None
     sb_ref = (next(it) if has_prev_view else sa_ref) if has_short else None
     sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = it
@@ -228,12 +274,22 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view):
     iota_ow = jax.lax.broadcasted_iota(
         jnp.int32, (R, outw), 1).astype(jnp.float32)
 
-    xc = xa_ref[0]                        # [R, M] current long X
+    if split_in:
+        a_uv = jnp.concatenate([xu_ref[0], xv_ref[0]], axis=1)
+        xc = _combine_split(_shuffle_zip(a_uv, M), M)   # [R, M] long X
+        if has_prev_view:
+            ap_uv = jnp.concatenate(
+                [xbu_ref[0, R - 1 : R, :], xbv_ref[0, R - 1 : R, :]], axis=1)
+            xp_last = _combine_split(_shuffle_zip(ap_uv, M), M)
+        else:
+            xp_last = xc[R - 1 : R]
+    else:
+        xc = xa_ref[0]                    # [R, M] current long X
+        xp_last = xb_ref[0, R - 1 : R, :]
     xcr = _rev_lanes(xc, M)
     # previous packet's X rows: last row of the block-shifted view for
     # row 0, in-block neighbor otherwise (same structure as _kernel);
     # the reversed form reuses xcr and reverses only the one extra row
-    xp_last = xb_ref[0, R - 1 : R, :]
     xp = jnp.concatenate([xp_last, xc[: R - 1]], axis=0)
     xpr = jnp.concatenate([_rev_lanes(xp_last, M), xcr[: R - 1]], axis=0)
     if has_short:
@@ -318,8 +374,9 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view):
 
 
 def overlap_i16_pallas(
-    long_audio: jnp.ndarray,  # f32 [T, C, n1] long-block IMDCT output
-    #   (or the pre-selected audio when `short_audio` is None)
+    long_audio,  # f32 [T, C, n1] long-block IMDCT output
+    #   (or the pre-selected audio when `short_audio` is None; with
+    #   x_split, a TUPLE (U, V) of [C, T, n1/4] Wang-split halves)
     short_audio: jnp.ndarray | None,  # f32 [T, C, n0] short-block output
     scal: jnp.ndarray,  # f32 [T, 9] per-packet scalars (see windowing.py)
     slopes: jnp.ndarray,  # f32 [4, W] slope0 / slope1 / rev0 / rev1
@@ -328,6 +385,7 @@ def overlap_i16_pallas(
     n1: int,
     ct_in: bool = False,
     x_rep: bool = False,
+    x_split: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (i16 [T, C*outw] FLAT, pwr_out [C, W]).
@@ -335,11 +393,18 @@ def overlap_i16_pallas(
     With ``x_rep``, the audio inputs are the half-width DCT-IV outputs
     ([.., n1/2] / [.., n0/2], see ops/imdct.dct4_batch_parts_ct) and the
     kernel reconstructs the window regions in VMEM (``_kernel_x``).
+    With ``x_split`` (implies x_rep, ct_in), the LONG input is the pair
+    (U, V) from the half-FLOP Wang-split GEMMs and the kernel zips them
+    back into X in VMEM — no XLA-side combine pass.
 
     The output stays flat: splitting [C*outw] -> [C, outw] on device
     re-tiles the s16 array (~1.7 ms/chunk at S=256); callers reshape the
     numpy array on the host for free."""
-    if ct_in:  # inputs already [C, T, n] (imdct_batch_parts_ct)
+    if x_split:
+        assert ct_in and x_rep and isinstance(long_audio, tuple)
+        lu, lv = long_audio
+        C, T, _ = lu.shape
+    elif ct_in:  # inputs already [C, T, n] (imdct_batch_parts_ct)
         C, T, _ = long_audio.shape
     else:
         T, C, _ = long_audio.shape
@@ -351,7 +416,11 @@ def overlap_i16_pallas(
     R = min(MAX_ROWS, -(-T // 16) * 16)  # adaptive: small chunks pad to 16s
     pad = (-T) % R
     if pad:
-        long_audio = jnp.pad(long_audio, [(0, 0), (0, pad), (0, 0)])
+        if x_split:
+            lu = jnp.pad(lu, [(0, 0), (0, pad), (0, 0)])
+            lv = jnp.pad(lv, [(0, 0), (0, pad), (0, 0)])
+        else:
+            long_audio = jnp.pad(long_audio, [(0, 0), (0, pad), (0, 0)])
         if short_audio is not None:
             short_audio = jnp.pad(short_audio, [(0, 0), (0, pad), (0, 0)])
         scal = jnp.pad(scal, [(0, pad), (0, 0)])  # out_len 0 => zero rows
@@ -360,18 +429,26 @@ def overlap_i16_pallas(
     has_prev_view = Tp > R  # single-block chunks need no shifted view
     kern = functools.partial(_kernel_x if x_rep else _kernel, n0=n0, n1=n1,
                              R=R, has_short=has_short,
-                             has_prev_view=has_prev_view)
+                             has_prev_view=has_prev_view,
+                             **({"split_in": True} if x_split else {}))
     w1, w0 = (n1 // 2, n0 // 2) if x_rep else (n1, n0)
     spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
     spec_prev = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, jnp.maximum(i - 1, 0), 0),
         memory_space=pltpu.VMEM)
-    in_specs = [spec_cur(w1)]
-    args = [long_audio]
-    if has_prev_view:
-        in_specs += [spec_prev(w1)]
-        args += [long_audio]
+    if x_split:
+        in_specs = [spec_cur(w1 // 2), spec_cur(w1 // 2)]
+        args = [lu, lv]
+        if has_prev_view:
+            in_specs += [spec_prev(w1 // 2), spec_prev(w1 // 2)]
+            args += [lu, lv]
+    else:
+        in_specs = [spec_cur(w1)]
+        args = [long_audio]
+        if has_prev_view:
+            in_specs += [spec_prev(w1)]
+            args += [long_audio]
     if has_short:
         in_specs += [spec_cur(w0)]
         args += [short_audio]

@@ -152,7 +152,7 @@ def overlap_add_batch(
 def overlap_add_i16_kernel_batch(
     audio, blockflag, prev_flag, next_flag, valid, slope0, slope1,
     n0: int, n1: int, carry, ct_in: bool = False, x_rep: bool = False,
-    interpret: bool = False,
+    x_split: bool = False, interpret: bool = False,
 ):
     """Pallas-kernel variant of :func:`overlap_add_i16_batch` (TPU only;
     bit-identical values — see ops/overlap_kernel.py). Same signature, but
@@ -163,14 +163,22 @@ def overlap_add_i16_kernel_batch(
     [T, C, n1] relayout pass XLA inserts before the custom-call."""
     from .overlap_kernel import overlap_i16_pallas
 
-    if isinstance(audio, tuple):
+    if x_split:
+        # ((U, V), short) — Wang-split long halves (ops/imdct.py)
         long_a, short_a = audio
+        C, T = long_a[0].shape[0], long_a[0].shape[1]
+    elif isinstance(audio, tuple):
+        long_a, short_a = audio
+        if ct_in:
+            C, T = long_a.shape[0], long_a.shape[1]
+        else:
+            T, C, _ = long_a.shape
     else:
         long_a, short_a = audio, None
-    if ct_in:
-        C, T = long_a.shape[0], long_a.shape[1]
-    else:
-        T, C, _ = long_a.shape
+        if ct_in:
+            C, T = long_a.shape[0], long_a.shape[1]
+        else:
+            T, C, _ = long_a.shape
     W = n1 // 2
     pwr0, plen0, started0 = carry
     long_blk = blockflag == 1
@@ -206,7 +214,7 @@ def overlap_add_i16_kernel_batch(
     # the audio would force XLA to relayout the whole tensor)
     out, pwr_out = overlap_i16_pallas(long_a, short_a, scal, slopes, pwr0,
                                       n0, n1, ct_in=ct_in, x_rep=x_rep,
-                                      interpret=interpret)
+                                      x_split=x_split, interpret=interpret)
 
     nvalid = jnp.sum(valid.astype(jnp.int32))
     last = jnp.maximum(nvalid - 1, 0)

@@ -219,3 +219,47 @@ def test_read_all_i16_jax_matches_f32_path(tmp_path):
     b = samples_mod.to_i16(r2.read_all_planar_f32()).T
     assert a.dtype == np.int16 and a.shape == b.shape
     assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_pallas_kernel_x_split_variant():
+    """Wang-split inputs (x_split=True): the kernel zips (U, V) back into
+    X via the in-VMEM perfect-shuffle + combine network. Against the
+    x_rep path fed the SAME X (combined in numpy f32 with the identical
+    op order), outputs must be bit-identical — the permutation network is
+    pure data movement and the combine is the same f32 adds."""
+    rng = np.random.default_rng(11)
+    s0, s1 = _slopes()
+    M, m = N1 // 2, N0 // 2
+    H = M // 2
+
+    def combine(u, v):  # numpy reference of ops/overlap_kernel._combine_split
+        X = np.empty(u.shape[:-1] + (M,), np.float32)
+        X[..., 0] = u[..., 0]
+        X[..., 1:-1:2] = u[..., 1:] - v[..., : H - 1]   # X_{2j-1}
+        X[..., 2::2] = u[..., 1:] + v[..., : H - 1]     # X_{2j}
+        X[..., M - 1] = -v[..., H - 1]
+        return X
+
+    for T in (16, 48):
+        (_, bf, pf, nf, v), carry = _rand_case(rng, T)
+        u = (rng.standard_normal((C, T, H)) * 0.5).astype(np.float32)
+        vv_ = (rng.standard_normal((C, T, H)) * 0.5).astype(np.float32)
+        x0 = (rng.standard_normal((C, T, m)) * 0.5).astype(np.float32)
+        x1 = combine(u, vv_)
+        (out_r, len_r), car_r = jax.jit(
+            lambda la, sa, b, p, n, vl, c:
+            overlap_add_i16_kernel_batch(
+                (la, sa), b, p, n, vl, s0, s1, N0, N1, c, ct_in=True,
+                x_rep=True, interpret=True)
+        )(jnp.asarray(x1), jnp.asarray(x0), bf, pf, nf, v, carry)
+        (out_s, len_s), car_s = jax.jit(
+            lambda lu, lv, sa, b, p, n, vl, c:
+            overlap_add_i16_kernel_batch(
+                ((lu, lv), sa), b, p, n, vl, s0, s1, N0, N1, c, ct_in=True,
+                x_rep=True, x_split=True, interpret=True)
+        )(jnp.asarray(u), jnp.asarray(vv_), jnp.asarray(x0), bf, pf, nf, v,
+          carry)
+        assert np.array_equal(np.asarray(out_r), np.asarray(out_s))
+        assert np.array_equal(np.asarray(len_r), np.asarray(len_s))
+        for a, b_ in zip(car_r, car_s):
+            assert np.array_equal(np.asarray(a), np.asarray(b_))
