@@ -395,9 +395,10 @@ def _floor_kernel_ok(cs, fr, allow_fused: bool = True) -> bool:
             and fr["residue"].shape[-1] == cs.channels * cs.w_eff)
 
 
-def _floor_kernel_spectra(cs, fr, ct_out: bool = False):
+def _floor_kernel_spectra(cs, fr, ct_out: bool = False, cd_n: int = 0):
     """Run the fused floor Pallas kernel (callers gate on
-    :func:`_floor_kernel_ok`)."""
+    :func:`_floor_kernel_ok`). With ``cd_n``, the kernel also applies the
+    Wang-split pre-butterfly and emits (c || d) instead of spectra."""
     from ..ops.floor_kernel import floor_spectra_pallas
 
     mode = fr["mode"]
@@ -414,7 +415,7 @@ def _floor_kernel_spectra(cs, fr, ct_out: bool = False):
     return floor_spectra_pallas(
         tele, fr["residue"], scal,
         cs.f1_step.astype(jnp.bfloat16), cs.static_coupling,
-        C, W, M, ct_out=ct_out,
+        C, W, M, ct_out=ct_out, cd_n=cd_n,
     )
 
 
@@ -597,31 +598,49 @@ def decode_frames_core(
         # bitcast (the [T, C, *] order costs a 235 MB relayout at the GEMM)
         from ..ops.overlap_kernel import pallas_x_rep_supported
 
-        spectra_ct, bf = _synthesize_spectra_ct(cs, fr)
-        if pallas_x_rep_supported(cs.n0, cs.n1, T, cs.channels):
-            # half-width form: the GEMM emits only the n/2 distinct
-            # DCT-IV values per transform (33% less MXU work at matched
-            # precision); the overlap kernel mirror-expands in VMEM
-            from ..ops import imdct as imdct_mod
+        from ..ops import imdct as imdct_mod
 
-            if (imdct_mod.USE_DCT4_SPLIT
-                    and cs.w_eff * 4 >= cs.n1 * 3 and cs.n1 >= 512):
-                # Wang split: half the long-GEMM FLOPs (ops/imdct.py);
-                # only pays when w_eff barely clips (the split loses the
-                # K = w_eff clip) and the transform is MXU-sized. The
-                # (U, V) halves go to the overlap kernel unrecombined —
-                # it zips them back into X in VMEM.
+        x_rep_ok = pallas_x_rep_supported(cs.n0, cs.n1, T, cs.channels)
+        use_split = (x_rep_ok and imdct_mod.USE_DCT4_SPLIT
+                     and cs.w_eff * 8 >= cs.n1 * 3 and cs.n1 >= 512)
+        if use_split:
+            # Wang split: half the long-GEMM FLOPs (ops/imdct.py); only
+            # pays when w_eff barely clips (the split loses the K = w_eff
+            # clip) and the transform is MXU-sized. The (U, V) halves go
+            # to the overlap kernel unrecombined — it zips them back into
+            # X in VMEM. When the floor kernel runs, it emits the
+            # butterfly pair (c || d) directly (cd_n) so the twiddle
+            # rotation costs no XLA pass either; the short-block GEMM
+            # recovers its few head values by the inverse rotation.
+            if _floor_kernel_ok(cs, fr):
+                bf = cs.mode_blockflag[fr["mode"]]
+                cd = _floor_kernel_spectra(cs, fr, ct_out=True,
+                                           cd_n=cs.n1 // 2)
+                uv = imdct_mod.dct4_split_uv_from_cd(cd, cs.n1)
+                short_a = None
+                if cs.n0 != cs.n1:
+                    mx0 = dct4_from_imdct(cs.imdct_m0)
+                    head = imdct_mod.split_cd_head(cd, cs.n1, mx0.shape[0])
+                    short_a = imdct_einsum("ctk,km->ctm", head, mx0)
+            else:
+                spectra_ct, bf = _synthesize_spectra_ct(cs, fr)
                 uv = imdct_mod.dct4_split_uv_ct(spectra_ct, cs.n1)
                 short_a = None
                 if cs.n0 != cs.n1:
                     mx0 = dct4_from_imdct(cs.imdct_m0)
                     short_a = imdct_einsum(
-                        "ctk,km->ctm", spectra_ct[:, :, : mx0.shape[0]], mx0)
-                return overlap_add_i16_kernel_batch(
-                    (uv, short_a), bf, fr["prev_flag"], fr["next_flag"],
-                    fr["valid"], cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
-                    ct_in=True, x_rep=True, x_split=True,
-                )
+                        "ctk,km->ctm", spectra_ct[:, :, : mx0.shape[0]],
+                        mx0)
+            return overlap_add_i16_kernel_batch(
+                (uv, short_a), bf, fr["prev_flag"], fr["next_flag"],
+                fr["valid"], cs.slope0, cs.slope1, cs.n0, cs.n1, carry,
+                ct_in=True, x_rep=True, x_split=True,
+            )
+        spectra_ct, bf = _synthesize_spectra_ct(cs, fr)
+        if x_rep_ok:
+            # half-width form: the GEMM emits only the n/2 distinct
+            # DCT-IV values per transform (33% less MXU work at matched
+            # precision); the overlap kernel mirror-expands in VMEM
             long_a, short_a = dct4_batch_parts_ct(
                 spectra_ct, dct4_from_imdct(cs.imdct_m0),
                 dct4_from_imdct(cs.imdct_m1))

@@ -71,8 +71,11 @@ def _fdiv(x, y):
     return q
 
 
-def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
-            C, W, P1, M, R, Kp, steps, ct_out):
+def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
+    if cd_n:
+        tele_ref, res_ref, sc_ref, step_ref, tw_ref, out_ref = refs
+    else:
+        tele_ref, res_ref, sc_ref, step_ref, out_ref = refs
     mode = sc_ref[:, 0:1]  # f32 [R, 1]
     binx_f = jax.lax.broadcasted_iota(
         jnp.int32, (R, W), 1).astype(jnp.float32)
@@ -147,11 +150,44 @@ def _kernel(tele_ref, res_ref, sc_ref, step_ref, out_ref, *,
         res[mag] = new_m
         res[ang] = new_a
 
+    if cd_n:
+        # ---- fused Wang-split pre-butterfly (ops/imdct.dct4_split_uv_ct):
+        # emit (c || d) per channel so the split's twiddle rotation never
+        # costs an XLA pass; x is zero past W (the w_eff clip), and the
+        # reversal reuses the overlap kernel's XOR-exchange network ----
+        from .overlap_kernel import _rev_lanes
+
+        N = cd_n
+        H = N // 2
+        ct = tw_ref[0:1, :]  # [1, H] cos(theta)
+        st = tw_ref[1:2, :]
+        for c in range(C):
+            x = curves[c] * res[c]  # [R, W]
+            if W < N:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((R, N - W), jnp.float32)], axis=1)
+            b = _rev_lanes(x, N)[:, :H]  # b_k = x_{N-1-k}
+            a = x[:, :H]
+            cc = ct * a + st * b
+            dd = ct * b - st * a
+            out_ref[c, :, :] = jnp.concatenate([cc, dd], axis=1)
+        return
+
     for c in range(C):
         if ct_out:
             out_ref[c, :, :] = curves[c] * res[c]
         else:
             out_ref[:, c * W : (c + 1) * W] = curves[c] * res[c]
+
+
+def _split_twiddles(N: int) -> jnp.ndarray:
+    """[2, N/2] (cos, sin) of theta_k = pi(2k+1)/(4N) for the fused
+    Wang-split butterfly (tables.dct4_split_tables holds the same values;
+    regenerated here from N alone so the kernel entry stays simple)."""
+    from ..tables import dct4_split_tables
+
+    _, _, ct, st = dct4_split_tables(2 * N)
+    return jnp.stack([jnp.asarray(ct), jnp.asarray(st)])
 
 
 def floor_spectra_pallas(
@@ -164,11 +200,17 @@ def floor_spectra_pallas(
     W: int,
     M: int,
     ct_out: bool = False,
+    cd_n: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns spectra f32 [T, C, W] = floor_curve * coupled_residue —
     or [C, T, W] with ``ct_out`` (the layout the downstream ctk,kn IMDCT
-    GEMM consumes as a bitcast; [T, C, W] costs a 235 MB relayout)."""
+    GEMM consumes as a bitcast; [T, C, W] costs a 235 MB relayout).
+
+    With ``cd_n = n1/2`` (requires ct_out), the output is instead the
+    Wang-split butterfly pair [C, T, cd_n] = (c || d) feeding the two
+    half-FLOP GEMMs (ops/imdct.dct4_split_uv_ct documents the math; the
+    rotation happens here in VMEM so it costs no XLA pass)."""
     T = tele.shape[0]
     P1 = tele.shape[1] // (4 * C)
     R = min(MAX_ROWS, -(-T // 8) * 8)
@@ -182,11 +224,13 @@ def floor_spectra_pallas(
         residue = jnp.pad(residue, [(0, pad), (0, 0)])
         scal = jnp.pad(scal, [(0, pad), (0, 0)])
     Tp = T + pad
+    assert not cd_n or ct_out
     kern = functools.partial(_kernel, C=C, W=W, P1=P1, M=M, R=R, Kp=Kp,
-                             steps=tuple(steps), ct_out=ct_out)
-    out_shape = (jax.ShapeDtypeStruct((C, Tp, W), jnp.float32) if ct_out
+                             steps=tuple(steps), ct_out=ct_out, cd_n=cd_n)
+    Wo = cd_n if cd_n else W
+    out_shape = (jax.ShapeDtypeStruct((C, Tp, Wo), jnp.float32) if ct_out
                  else jax.ShapeDtypeStruct((Tp, C * W), jnp.float32))
-    out_spec = (pl.BlockSpec((C, R, W), lambda i: (0, i, 0),
+    out_spec = (pl.BlockSpec((C, R, Wo), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM) if ct_out
                 else pl.BlockSpec((R, C * W), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
@@ -203,10 +247,12 @@ def floor_spectra_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, step.shape[1], W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((2, cd_n // 2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] if cd_n else []),
         out_specs=out_spec,
         interpret=interpret,
-    )(tele, residue, scal, step)
+    )(tele, residue, scal, step,
+      *((_split_twiddles(cd_n),) if cd_n else ()))
     if ct_out:
         return out[:, :T]  # [C, T, W]
     return out[:T].reshape(T, C, W)

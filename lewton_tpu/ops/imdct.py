@@ -246,6 +246,33 @@ def dct4_split_uv_ct(spectra_ct: jnp.ndarray, n: int):
     return u, v
 
 
+def dct4_split_uv_from_cd(cd: jnp.ndarray, n: int):
+    """(U, V) from the floor kernel's fused butterfly output
+    [C, T, n/2] = (c || d) — just the two half-FLOP GEMMs; the rotation
+    already happened in VMEM (ops/floor_kernel cd_n)."""
+    from ..tables import dct4_split_tables
+
+    H = n // 4
+    t2, s2, _, _ = (jnp.asarray(a) for a in dct4_split_tables(n))
+    u = imdct_einsum("ctk,kj->ctj", cd[..., :H], t2)
+    v = imdct_einsum("ctk,kj->ctj", cd[..., H:], s2)
+    return u, v
+
+
+def split_cd_head(cd: jnp.ndarray, n: int, k0: int) -> jnp.ndarray:
+    """First k0 spectrum values back out of the butterfly pair: the
+    rotation is orthonormal per lane, so x_k = cos(th_k) c_k - sin(th_k)
+    d_k (the b terms cancel algebraically; the round-trip costs ~2 f32
+    ulp, far inside the +-2 LSB budget). Feeds the short-block GEMM,
+    whose K is n0/2 << n1/2 — a tiny elementwise slice, not a pass."""
+    from ..tables import dct4_split_tables
+
+    _, _, cos_tw, sin_tw = (jnp.asarray(a) for a in dct4_split_tables(n))
+    H = n // 4
+    return (cos_tw[:k0] * cd[..., :k0]
+            - sin_tw[:k0] * cd[..., H : H + k0])
+
+
 def dct4_split_batch_parts_ct(
     spectra_ct: jnp.ndarray,  # f32 [C, T, n1/2] (channel-major)
     n0: int,
