@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--imdct-precision", default=None,
                     choices=["default", "high3", "high", "highest"])
     ap.add_argument(
+        "--dct4-split", action="store_true",
+        help="route the long IMDCT through the Wang split (half the GEMM "
+        "FLOPs; ops/imdct.USE_DCT4_SPLIT) — A/B this on the real chip "
+        "and gate any default flip on --check",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="StreamingScheduler throughput: --streams live streams fed "
         "incrementally, aggregate x-realtime polled to completion",
@@ -66,10 +72,13 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         bench_frontend(args)
         return
-    if args.imdct_precision:
+    if args.imdct_precision or args.dct4_split:
         import lewton_tpu.ops.imdct as _im
 
-        _im.PRECISION = args.imdct_precision
+        if args.imdct_precision:
+            _im.PRECISION = args.imdct_precision
+        if args.dct4_split:
+            _im.USE_DCT4_SPLIT = True
     if args.check:
         check_conformance(args)
         return
