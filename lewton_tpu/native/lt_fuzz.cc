@@ -29,6 +29,8 @@ DecoderOpaque* lt_decoder_new(const uint8_t*, size_t, const uint8_t*, size_t,
                               char*, size_t);
 void lt_decoder_free(DecoderOpaque*);
 int lt_decoder_decode(DecoderOpaque*, const uint8_t*, size_t, float*);
+int64_t lt_decode_ogg_i16(const OggReaderOpaque*, int16_t*, int64_t,
+                          int64_t*);
 }
 
 static uint32_t rng_state = 0x1234567;
@@ -43,6 +45,16 @@ static int decode_all(const std::vector<uint8_t>& data) {
   if (n < 3) {
     lt_ogg_free(ogg);
     return 0;
+  }
+  {
+    // whole-file one-call path (lt_file.cc): chained re-init, absgp
+    // truncation and the i16 conversion all parse hostile input too.
+    // Deliberately small cap: the cap-exceeded (-3) exit must be clean.
+    // The API contract is "pcm holds channels*cap" and a hostile ident
+    // can declare up to 255 channels, so size for the maximum.
+    std::vector<int16_t> pcm((size_t)256 * 4096);
+    int64_t absgp = 0;
+    (void)lt_decode_ogg_i16(ogg, pcm.data(), 4096, &absgp);
   }
   std::vector<uint64_t> lens(n), absgp(n), pgran(n);
   std::vector<uint32_t> serials(n);
