@@ -4,13 +4,10 @@ mode (same f32 ops in the same order)."""
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lewton_tpu.models.decoder import (_floor_kernel_ok,
-                                       _floor_kernel_spectra, compile_setup,
-                                       pack_frames)
+from lewton_tpu.models.decoder import _floor_kernel_spectra, compile_setup
 from lewton_tpu.ops import floor_kernel as fk
 from lewton_tpu.tables import dct4_split_tables
 from lewton_tpu.testing import synthetic_frames, synthetic_headers
