@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--imdct-precision", default=None,
                     choices=["default", "high3", "high", "highest"])
     ap.add_argument(
+        "--scan", type=int, default=0, metavar="N",
+        help="decode N chunks per device dispatch via lax.scan "
+        "(parallel/batch.decode_chunks_scan) — amortizes dispatch latency",
+    )
+    ap.add_argument(
         "--dct4-split", action="store_true",
         help="route the long IMDCT through the Wang split (half the GEMM "
         "FLOPs; ops/imdct.USE_DCT4_SPLIT) — A/B this on the real chip "
@@ -98,7 +103,8 @@ def main() -> None:
 
     from lewton_tpu.models.decoder import compile_setup
     from lewton_tpu.ops.windowing import init_window_carry
-    from lewton_tpu.parallel.batch import decode_chunk_batch
+    from lewton_tpu.parallel.batch import (decode_chunk_batch,
+                                           decode_chunks_scan)
     from lewton_tpu.testing import synthetic_frames, synthetic_headers
 
     S, T = args.streams, args.chunk
@@ -112,6 +118,36 @@ def main() -> None:
         lambda x: jnp.broadcast_to(x, (S,) + x.shape),
         init_window_carry(cs.channels, cs.n1 // 2),
     )
+
+    if args.scan:
+        # N chunks per dispatch: the same frames stacked (steady-state
+        # synthesis; production stacks N distinct chunks the same way)
+        frs = {k: jnp.broadcast_to(v, (args.scan,) + v.shape)
+               for k, v in fr.items()}
+        (outs, out_lens), carry2 = decode_chunks_scan(
+            cs, frs, carry, with_i16=True)
+        jax.block_until_ready(outs)
+        samples_per_call = int(np.asarray(out_lens).sum())
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(args.iters):
+            (outs, out_lens), c = decode_chunks_scan(
+                cs, frs, c, with_i16=True)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        audio_seconds = samples_per_call * args.iters / ident.sample_rate
+        packets = S * T * args.scan * args.iters
+        result = {
+            "metric": "aggregate_realtime_synthesis_44k1_stereo",
+            "value": round(audio_seconds / dt, 1),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(audio_seconds / dt / 10000.0, 3),
+            "detail": {"streams": S, "chunk": T, "scan": args.scan,
+                       "iters": args.iters,
+                       "packets_per_s": round(packets / dt, 1)},
+        }
+        print(json.dumps(result))
+        return
 
     # warmup / compile
     (out_i16, out_len), carry2 = decode_chunk_batch(

@@ -74,6 +74,25 @@ def decode_chunk_batch(cs: CompiledSetup, fr: dict, carry, with_i16=False,
     return _batch_core(cs, fr, carry, with_i16, compact_cap)
 
 
+@partial(jax.jit, static_argnames=("with_i16",))
+def decode_chunks_scan(cs: CompiledSetup, frs: dict, carry, with_i16=False):
+    """Decode N chunks in ONE device dispatch: frs leaves [N, S, T, ...].
+
+    The window carry chains chunk to chunk anyway (strictly sequential),
+    so a `lax.scan` over the chunk axis adds no serialization — it only
+    amortizes the per-dispatch host/tunnel latency over N chunks (each
+    dispatch through this environment's tunnel costs ~1.4 ms against a
+    ~12 ms chunk; real PCIe hosts pay less but not zero). Returns
+    (stacked outputs [N, ...], final carry)."""
+
+    def step(c, fr):
+        (out, out_len), c2 = _batch_core(cs, fr, c, with_i16, None)
+        return c2, (out, out_len)
+
+    carry2, outs = jax.lax.scan(step, carry, frs)
+    return outs, carry2
+
+
 def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
     """Tensor-parallel IMDCT: contraction axis sharded over `axis`.
 

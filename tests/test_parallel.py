@@ -99,3 +99,43 @@ def test_decode_streams_i16_host_compaction(corpus_dir):
     for x, y in zip(a, b):
         assert x.shape == y.shape
         assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
+
+
+def test_decode_chunks_scan_matches_sequential():
+    """N-chunk scan dispatch == N sequential chunk dispatches, bit for
+    bit (same core per step; the scan only batches the dispatches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lewton_tpu.models.decoder import compile_setup
+    from lewton_tpu.ops.windowing import init_window_carry
+    from lewton_tpu.parallel.batch import (decode_chunk_batch,
+                                           decode_chunks_scan)
+    from lewton_tpu.testing import synthetic_frames, synthetic_headers
+
+    ident, setup = synthetic_headers(channels=2, bs0_exp=8, bs1_exp=11)
+    cs = compile_setup(ident, setup)
+    S, T, N = 2, 8, 3
+    frs = [synthetic_frames(cs, T=T, S=S, seed=20 + i) for i in range(N)]
+    carry0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (S,) + x.shape),
+        init_window_carry(cs.channels, cs.n1 // 2))
+
+    c = carry0
+    seq_outs = []
+    for fr in frs:
+        (out, out_len), c = decode_chunk_batch(
+            cs, {k: jnp.asarray(v) for k, v in fr.items()}, c,
+            with_i16=True)
+        seq_outs.append((np.asarray(out), np.asarray(out_len)))
+
+    stacked = {k: jnp.stack([jnp.asarray(fr[k]) for fr in frs])
+               for k in frs[0]}
+    (outs, out_lens), c2 = decode_chunks_scan(cs, stacked, carry0,
+                                              with_i16=True)
+    for i in range(N):
+        assert np.array_equal(np.asarray(outs[i]), seq_outs[i][0]), i
+        assert np.array_equal(np.asarray(out_lens[i]), seq_outs[i][1]), i
+    for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
