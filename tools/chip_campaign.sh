@@ -25,6 +25,11 @@ run python tools/bisect_synth.py
 # 4. Wang-split A/B: throughput, then the gate AT the split config
 run python bench.py --dct4-split
 run python bench.py --dct4-split --check
+run python tools/split_diff.py --crafted f1_bs8192
+
+# 4b. scan-dispatch A/B (amortized dispatch latency)
+run python bench.py --scan 4
+run python bench.py --scan 4 --dct4-split
 
 # 5. per-surface artifacts for PERF_r3.json (synthesis/check rerun cheap)
 run python tools/perf_record.py --round 3 --surfaces synthesis,check,e2e,serve
