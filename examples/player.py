@@ -33,20 +33,55 @@ def write_wav(path, pcm_i16, rate):
         f.write(data)
 
 
+def stream_realtime(r, sink, rate):
+    """Decode packet by packet and emit raw interleaved s16le to `sink`
+    paced at wall-clock rate — the reference player's realtime behavior
+    (examples/player.rs:19-89 queues/sleeps against OpenAL); pipe into
+    any player, e.g. `... --realtime - | aplay -f S16_LE -r 44100 -c 2`."""
+    import time
+
+    t0 = time.monotonic()
+    emitted = 0
+    while (pcm := r.read_dec_packet_itl()) is not None:
+        if not pcm.size:
+            continue
+        due = t0 + emitted / rate
+        now = time.monotonic()
+        if due > now:
+            time.sleep(due - now)
+        sink.write(pcm.astype("<i2").tobytes())
+        sink.flush()
+        emitted += pcm.size // max(r.ident_hdr.channels, 1)
+    return emitted
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("output", nargs="?")
     ap.add_argument("--backend", default="native",
                     choices=["numpy", "native", "jax"])
+    ap.add_argument("--realtime", action="store_true",
+                    help="stream raw s16le to OUTPUT (or stdout with '-') "
+                    "paced at the audio rate, packet by packet")
     args = ap.parse_args()
-    out = args.output or args.input.rsplit(".", 1)[0] + ".wav"
     r = OggStreamReader(args.input, backend=args.backend)
+    rate = r.ident_hdr.sample_rate
+    if args.realtime:
+        if args.output in (None, "-"):
+            sink = sys.stdout.buffer
+        else:
+            sink = open(args.output, "wb")
+        n = stream_realtime(r, sink, rate)
+        print(f"streamed {n} samples @ {rate} Hz in realtime",
+              file=sys.stderr)
+        return
+    out = args.output or args.input.rsplit(".", 1)[0] + ".wav"
     pcm = r.read_all_i16()
-    write_wav(out, pcm, r.ident_hdr.sample_rate)
-    secs = pcm.shape[0] / r.ident_hdr.sample_rate
+    write_wav(out, pcm, rate)
+    secs = pcm.shape[0] / rate
     print(f"wrote {out}: {pcm.shape[0]} samples x {pcm.shape[1]} ch "
-          f"({secs:.2f}s @ {r.ident_hdr.sample_rate} Hz)")
+          f"({secs:.2f}s @ {rate} Hz)")
 
 
 if __name__ == "__main__":
