@@ -156,6 +156,7 @@ struct Decoder {
   std::map<uint64_t, std::vector<float>> bark;
   // window carry
   std::vector<float> pwr;  // [C * plen]
+  std::vector<float> pwr_next;  // swap partner (no per-packet alloc)
   uint32_t plen = 0;
   bool started = false;
   // scratch frame buffers
@@ -437,13 +438,16 @@ static int overlap_add_block(Decoder* d, const float* audio, uint8_t bf,
     }
   }
   // save right region
+  // save into the swap partner (a fresh vector per packet costs a
+  // malloc/free pair on the hot loop; the two buffers just trade roles)
   uint32_t nplen = right_end - right_start;
-  std::vector<float> np((size_t)C * nplen);
+  std::vector<float>& np = d->pwr_next;
+  np.resize((size_t)C * nplen);
   for (uint32_t ch = 0; ch < C; ++ch)
     memcpy(np.data() + (size_t)ch * nplen,
            audio + (size_t)ch * n1 + right_start,
            sizeof(float) * nplen);
-  d->pwr = std::move(np);
+  d->pwr.swap(np);
   d->plen = nplen;
   d->started = true;
   return out_len;
