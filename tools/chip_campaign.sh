@@ -31,6 +31,9 @@ run python tools/split_diff.py --crafted f1_bs8192
 run python bench.py --scan 4
 run python bench.py --scan 4 --dct4-split
 
+# 4c. precision lab (limb-split diagnosis; VERDICT r2 #1 step 2)
+run python tools/precision_lab.py
+
 # 5. per-surface artifacts for PERF_r3.json (synthesis/check rerun cheap)
 run python tools/perf_record.py --round 3 --surfaces synthesis,check,e2e,serve
 
