@@ -42,7 +42,7 @@ from ..ops.floor_curve import (
 from ..ops.synth_kernel import fused_floor_couple
 from ..ops.imdct import (imdct_batch, imdct_batch_parts,
                          imdct_batch_parts_ct, dct4_batch_parts_ct,
-                         dct4_from_imdct, imdct_einsum)
+                         imdct_einsum)
 from ..ops.windowing import (compact_i16, init_window_carry,
                              overlap_add_batch, overlap_add_i16_batch,
                              overlap_add_i16_kernel_batch)
@@ -105,8 +105,10 @@ class CompiledSetup:
     has_floor0: bool
     has_floor1: bool
     #: effective spectral width: residues are zero past the setup's residue
-    #: `end` (per channel), so floors/coupling/IMDCT run at w_eff <= n1/2
-    #: (padded to a lane multiple). Typical q3 stereo: 896 of 1024.
+    #: `end` (per channel; crossing vectors clip at the partition boundary
+    #: per the libvorbis oracle — see residue.py), so floors/coupling/IMDCT
+    #: run at w_eff <= n1/2 (padded to a lane multiple). Typical q3
+    #: stereo: 896 of 1024.
     w_eff: int
     #: coupling steps as a static tuple when identical across all modes
     #: (the common one-mapping case) — enables static-index coupling
@@ -132,12 +134,18 @@ class CompiledSetup:
     slope1: jnp.ndarray  # f32 [W]
     imdct_m0: jnp.ndarray  # f32 [n0/2, n0]
     imdct_m1: jnp.ndarray  # f32 [n1/2, n1]
+    #: DCT-IV forms of imdct_m0/m1 (column-permuted sign flips, see
+    #: ops/imdct.dct4_from_imdct), precomputed at setup time: deriving them
+    #: inside the jitted path would re-run the negate+concat on EVERY
+    #: dispatch (cs leaves are runtime inputs, not trace constants)
+    dct4_m0: jnp.ndarray  # f32 [n0/2, n0/2]
+    dct4_m1: jnp.ndarray  # f32 [n1/2, n1/2]
 
     _leaf_names = (
         "mode_blockflag", "f_is_floor1", "f1_xs", "f1_mult", "f0_order",
         "f0_lfv_scale", "f0_amp_offset", "f0_cos_omega", "coup_mag",
         "coup_ang", "coup_n", "f1_step", "slope0", "slope1", "imdct_m0",
-        "imdct_m1",
+        "imdct_m1", "dct4_m0", "dct4_m1",
     )
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
@@ -186,6 +194,12 @@ def residue_i16_bound(setup: SetupHeader) -> float | None:
             bound += mx
         worst = max(worst, bound)
     return worst
+
+
+def _dct4_np(m: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/imdct.dct4_from_imdct, run once at setup time."""
+    M = m.shape[1] // 2
+    return np.concatenate([-m[:, 3 * M // 2 :], m[:, : M // 2]], axis=1)
 
 
 def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
@@ -259,7 +273,11 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     slope1 = window_slope(n1 // 2)
 
     # effective spectral width: max per-channel residue extent across all
-    # (mode, submap); type-2 ends are over the interleaved vector
+    # (mode, submap); type-2 ends are over the interleaved vector. `end`
+    # really is the support: a VQ vector whose dim does not divide
+    # partition_size is read whole but its components CLIP at the
+    # partition boundary (libvorbis-oracle semantics, see residue.py), so
+    # nothing is ever written at or past `end`.
     w_eff = 0
     for m in setup.modes:
         mapping = setup.mappings[m.mapping]
@@ -286,6 +304,8 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
     i16_bound = residue_i16_bound(setup)
     residue_i16 = i16_bound is not None and i16_bound < 32768
     dev = jnp.asarray
+    m0_np = imdct_matrix(n0, dtype=np.float32)[: min(w_eff, n0 // 2)]
+    m1_np = imdct_matrix(n1, dtype=np.float32)[:w_eff]
     return CompiledSetup(
         channels=C, n0=n0, n1=n1, sample_rate=ident.sample_rate,
         max_posts=P, f0_order_max=Omax,
@@ -303,10 +323,10 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         f0_cos_omega=dev(f0_cos_omega[:, :, :w_eff]),
         f1_step=dev(floor1_step_matrix(f1_xs, w_eff)),
         slope0=dev(slope0), slope1=dev(slope1),
-        imdct_m0=dev(
-            imdct_matrix(n0, dtype=np.float32)[: min(w_eff, n0 // 2)]
-        ),
-        imdct_m1=dev(imdct_matrix(n1, dtype=np.float32)[:w_eff]),
+        imdct_m0=dev(m0_np),
+        imdct_m1=dev(m1_np),
+        dct4_m0=dev(_dct4_np(m0_np)),
+        dct4_m1=dev(_dct4_np(m1_np)),
     )
 
 
@@ -619,7 +639,7 @@ def decode_frames_core(
                 uv = imdct_mod.dct4_split_uv_from_cd(cd, cs.n1)
                 short_a = None
                 if cs.n0 != cs.n1:
-                    mx0 = dct4_from_imdct(cs.imdct_m0)
+                    mx0 = cs.dct4_m0
                     head = imdct_mod.split_cd_head(cd, cs.n1, mx0.shape[0])
                     short_a = imdct_einsum("ctk,km->ctm", head, mx0)
             else:
@@ -627,7 +647,7 @@ def decode_frames_core(
                 uv = imdct_mod.dct4_split_uv_ct(spectra_ct, cs.n1)
                 short_a = None
                 if cs.n0 != cs.n1:
-                    mx0 = dct4_from_imdct(cs.imdct_m0)
+                    mx0 = cs.dct4_m0
                     short_a = imdct_einsum(
                         "ctk,km->ctm", spectra_ct[:, :, : mx0.shape[0]],
                         mx0)
@@ -642,8 +662,7 @@ def decode_frames_core(
             # DCT-IV values per transform (33% less MXU work at matched
             # precision); the overlap kernel mirror-expands in VMEM
             long_a, short_a = dct4_batch_parts_ct(
-                spectra_ct, dct4_from_imdct(cs.imdct_m0),
-                dct4_from_imdct(cs.imdct_m1))
+                spectra_ct, cs.dct4_m0, cs.dct4_m1)
             audio = (long_a, short_a) if short_a is not None else long_a
             return overlap_add_i16_kernel_batch(
                 audio, bf, fr["prev_flag"], fr["next_flag"], fr["valid"],

@@ -4,6 +4,7 @@
 // (behavioral parity with lewton src/audio.rs:919-1005, independently
 // implemented from Vorbis I spec §4.3, §6, §7, §8.6). End-of-packet inside
 // floors/residues is data, not error.
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -134,7 +135,7 @@ static inline bool vq_run(BitCursor* cur, const Codebook& book,
 // time). Parity-split inner loops keep the accumulate select-free (and
 // a ternary-indexed lvalue here made gcc's sanitizer instrumentation
 // check a speculated address, aborting fuzz runs). Caller guarantees
-// every touched p has p>>1 < rw (checked once per packet: end <= 2*rw).
+// every touched p has p>>1 < rw (per partition: span <= 2*rw).
 template <uint32_t DIM>
 static inline bool vq_run2(BitCursor* cur, const Codebook& book,
                            float* __restrict r0, float* __restrict r1,
@@ -526,9 +527,20 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
               const Codebook& book = st->setup.codebooks[book_idx];
               const uint32_t dim = book.dimensions;
               uint32_t nsym = dim ? (r.partition_size + dim - 1) / dim : 0;
+              // The unclipped fast paths require the vectors to tile the
+              // partition EXACTLY (nsym*dim == partition_size): when dim
+              // does not divide partition_size, the last vector's tail
+              // components are READ but DISCARDED at the partition
+              // boundary — libvorbis-oracle semantics (codebook.c
+              // vorbis_book_decodev_add clips at n=samples_per_partition;
+              // lewton src/audio.rs:601-614 instead adds across the
+              // boundary — we follow the oracle, see residue.py). The
+              // exact-tile condition also bounds every write: offs +
+              // partition_size <= end (<= 2*rw under direct2, <= rw via
+              // w_eff otherwise).
               const bool full =
                   nsym && vq_run_supported(dim) && !book.huff.single() &&
-                  offs + (uint64_t)nsym * dim <= actual_size;
+                  nsym * dim == r.partition_size;
               if (direct2) {
                 if (full) {
                   if (!vq_run2_dim(&cur, book, dr0, dr1, offs, nsym, dim)) {
@@ -537,8 +549,9 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   }
                   continue;
                 }
-                // generic direct-write tail (odd dims, partial partition,
-                // single-entry book): same decode-then-clip semantics
+                // generic direct-write tail (odd dims, single-entry book,
+                // partition-crossing vectors): clip writes at the
+                // partition boundary, keep reading to ceil(psize/dim)
                 const float* __restrict vq = book.vq.data();
                 uint32_t i = 0;
                 while (i < r.partition_size) {
@@ -547,15 +560,17 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                     eop = true;
                     break;
                   }
-                  if (actual_size - (offs + i) < dim) break;  // ref: clip
                   const float* ve = vq + (size_t)e * dim;
+                  const uint32_t lim =
+                      dim < r.partition_size - i ? dim
+                                                 : r.partition_size - i;
                   const uint32_t base = offs + i;
                   float* ra = (base & 1) ? dr1 : dr0;
                   float* rb = (base & 1) ? dr0 : dr1;
                   const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
-                  for (uint32_t j = 0; 2 * j < dim; ++j)
+                  for (uint32_t j = 0; 2 * j < lim; ++j)
                     ra[qa + j] += ve[2 * j];
-                  for (uint32_t j = 0; 2 * j + 1 < dim; ++j)
+                  for (uint32_t j = 0; 2 * j + 1 < lim; ++j)
                     rb[qb + j] += ve[2 * j + 1];
                   i += dim;
                 }
@@ -578,9 +593,11 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   eop = true;
                   break;
                 }
-                if (actual_size - (offs + i) < dim) break;  // ref: clip stop
                 LT_CNT(vq_syms[dim > 16 ? 16 : dim]++);
-                vq_add(row + offs + i, vq + (size_t)e * dim, dim);
+                const uint32_t lim = dim < r.partition_size - i
+                                         ? dim
+                                         : r.partition_size - i;
+                vq_add(row + offs + i, vq + (size_t)e * dim, lim);
                 i += dim;
               }
               if (eop) break;
@@ -667,9 +684,13 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
               } else {
                 uint32_t nsym =
                     dim ? (r.partition_size + dim - 1) / dim : 0;
+                // exact-tile fast path only (see the type-2 comment:
+                // crossing vectors clip at the partition boundary per the
+                // libvorbis oracle); offs + partition_size <= end <= rw
+                // via w_eff, so tiled writes need no rw guard
                 if (nsym && vq_run_supported(dim) && !book.huff.single() &&
-                    offs + (uint64_t)nsym * dim <= actual_size &&
-                    offs + (uint64_t)nsym * dim <= rw) {
+                    nsym * dim == r.partition_size &&
+                    offs + (uint64_t)r.partition_size <= rw) {
                   if (!vq_run_dim(&cur, book, row + offs, nsym, dim))
                     eop = true;  // false == EOP
                 } else {
@@ -681,9 +702,13 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                       eop = true;
                       break;
                     }
-                    if (actual_size - (offs + i) < dim) break;
-                    if (offs + i + dim <= rw)
-                      vq_add(row + offs + i, vq + (size_t)e * dim, dim);
+                    uint32_t lim = dim < r.partition_size - i
+                                       ? dim
+                                       : r.partition_size - i;
+                    if (offs + i + lim > rw)
+                      lim = offs + i < rw ? rw - (offs + i) : 0;
+                    if (lim)
+                      vq_add(row + offs + i, vq + (size_t)e * dim, lim);
                     i += dim;
                   }
                 }

@@ -130,7 +130,9 @@ def dct4_from_imdct(m: jnp.ndarray) -> jnp.ndarray:
     are (sign-flipped) copies of the IMDCT matrix's columns, so the
     X-representation path reconstructs BIT-identical audio:
     X[m] = audio[m - M/2] for m >= M/2, X[m] = -audio[3M/2 + m] below.
-    A ~2 MB concat at trace time; negligible next to the GEMM it feeds."""
+    The decode path does NOT call this under jit (cs leaves are runtime
+    inputs, so the concat would re-run per dispatch): CompiledSetup
+    precomputes dct4_m0/m1 at setup time (models/decoder._dct4_np)."""
     n = m.shape[1]
     M = n // 2
     return jnp.concatenate([-m[:, 3 * M // 2 :], m[:, : M // 2]], axis=1)

@@ -82,15 +82,24 @@ def _decode_inner(
                             i = 0
                             while i < psize:
                                 vec = vq[cur.read_huffman(book.tree)]
-                                lim = actual_size - (offs + i)
-                                if lim < dim:
-                                    # write clipped at channel end, then stop
-                                    # this partition (ref behavior: slice
-                                    # get_mut fails -> break)
-                                    if lim > 0:
-                                        pass  # ref breaks without partial write
-                                    break
-                                row[offs + i : offs + i + dim] += vec
+                                # libvorbis-oracle semantics for a vector
+                                # whose dim does not divide partition_size:
+                                # the symbol IS read (ceil(psize/dim) reads
+                                # per partition) but components past the
+                                # partition boundary are DISCARDED
+                                # (codebook.c vorbis_book_decodev_add clips
+                                # at n=samples_per_partition). lewton
+                                # instead adds them across the boundary
+                                # (src/audio.rs:601-614 slices to channel
+                                # end); we deliberately follow libvorbis,
+                                # the conformance oracle — real encoders
+                                # never emit such books, crafted streams do
+                                # (tools/craft.py res_book="dim3").
+                                lim = min(dim, psize - i,
+                                          actual_size - (offs + i))
+                                if lim > 0:
+                                    row[offs + i : offs + i + lim] += \
+                                        vec[:lim]
                                 i += dim
                     partition_count += 1
     except EndOfPacket:

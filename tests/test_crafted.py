@@ -6,10 +6,14 @@ analog of the reference's pinned real-world asset suite
 floor1 posts, blocksize extremes. Golden PCM comes from libvorbisfile;
 every backend must match within the +/-2 i16 LSB contract.
 
-These vectors pin the libvorbis-exact floor1 escape semantics
-(floor.py floor1_amplitudes): the reference's u32-wrap handling diverges
-from libvorbis on out-of-range posts, and we deliberately follow
-libvorbis (the conformance oracle) there.
+These vectors pin two deliberate libvorbis-over-lewton choices (libvorbis
+is the conformance oracle):
+- floor1 escape semantics (floor.py floor1_amplitudes): the reference's
+  u32-wrap handling diverges from libvorbis on out-of-range posts;
+- residue partition-crossing VQ vectors (residue.py): when a book's dim
+  does not divide partition_size, libvorbis clips the vector's tail at
+  the partition boundary while lewton adds it across (the *_dim3_lane
+  variants exercise exactly this).
 """
 
 import numpy as np

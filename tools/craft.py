@@ -174,6 +174,9 @@ class F1Spec:
     #: mode1 short/coupled, mode2 long/coupled (square-polar coupling +
     #: multi-mapping mode dispatch in one stream)
     three_modes_coupled: bool = False
+    #: stereo with a TYPE-2 residue (channels interleaved into one vector,
+    #: spec 8.6.4): residue_end/begin are over the interleaved domain
+    type2_stereo: bool = False
 
 
 def _res_cb(spec: F1Spec) -> CB:
@@ -204,6 +207,17 @@ def _res_cb(spec: F1Spec) -> CB:
         # the coverage. lv = lookup1_values(4, 2) = 2; values {-1, +1}
         return CB(2, [2] * 4, lookup=1, minimum=-1.0, delta=2.0,
                   value_bits=2, mults=[0, 1])
+    if spec.res_book == "dim3":
+        # dims=3 does NOT divide the usual partition_size: the last VQ
+        # vector of each partition is read whole but its tail components
+        # CLIP at the partition boundary (libvorbis-oracle semantics;
+        # lewton adds them across the boundary — see residue.py). This is
+        # the one decode loop where the two disagree, and the geometry
+        # that made the old native fast paths write past the partition.
+        # mults period must not divide dims (an (i*k)%3 pattern makes every
+        # third component constant-zero and the clipped tail vacuous)
+        return CB(3, [2] * 4, lookup=2, minimum=-1.0, delta=1.0,
+                  value_bits=2, mults=[(i * 2 + 1) % 4 for i in range(12)])
     if spec.res_book == "seq_p":
         # sequence_p: VQ components accumulate across dims (spec 3.2.1
         # "lookup1/2 with sequence flag"); dims 4 makes the accumulation long
@@ -215,7 +229,8 @@ def _res_cb(spec: F1Spec) -> CB:
 
 def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
     # --- ident ---
-    stereo = spec.two_submaps or spec.three_modes_coupled
+    stereo = (spec.two_submaps or spec.three_modes_coupled
+              or spec.type2_stereo)
     w = BitWriter().write_bytes(b"\x01vorbis")
     w.write_bits(0, 32)
     w.write_bits(2 if stereo else 1, 8)
@@ -267,7 +282,7 @@ def build_headers(spec: F1Spec) -> tuple[bytes, bytes, bytes]:
             w.write_bits(x, spec.rangebits)
 
     def write_residue(end):
-        w.write_bits(1, 16)  # type 1
+        w.write_bits(2 if spec.type2_stereo else 1, 16)  # residue type
         w.write_bits(spec.residue_begin, 24)
         w.write_bits(end, 24)
         w.write_bits(spec.partition_size - 1, 24)
@@ -434,35 +449,39 @@ def audio_packet(spec: F1Spec, seed: int, prev_long: bool,
                 _write_code(w, book, vals[vi] % spec.y_entries)
                 vi += 1
 
-    nch = 2 if spec.three_modes_coupled else 1
+    nch = 2 if (spec.three_modes_coupled or spec.type2_stereo) else 1
     for ch in range(nch):
         write_floor(rng if ch == 0 else ((rng >> 7) | (rng << 9)) &
                     0xFFFFFFFF)
 
-    # ---- residue (type 1; classwords/codewords interleave across the
-    # submap's channels per spec 8.6.2) ----
+    # ---- residue (classwords/codewords interleave across the submap's
+    # channels per spec 8.6.2; type 2 joins all channels into ONE
+    # interleaved pseudo-channel, spec 8.6.4) ----
     n = (1 << spec.bs1_exp) if long_blk else (1 << spec.bs0_exp)
-    actual = n // 2
+    res_nch = 1 if spec.type2_stereo else nch
+    actual = n * nch // 2 if spec.type2_stereo else n // 2
     begin = min(spec.residue_begin, actual)
     end = min(spec.residue_end, actual)
     parts = (end - begin) // spec.partition_size
     # classbook dims=2: one classword covers 2 partitions
     usable = [i for i, c in enumerate(resvq.codes()) if c is not None]
-    vq_words = spec.partition_size // resvq.dims
+    # ceil: when dims does not divide partition_size the decoder reads one
+    # vector that crosses the partition boundary (res_book="dim3")
+    vq_words = -(-spec.partition_size // resvq.dims)
     cls_ch = []  # per channel: partition class schedule
-    for ch in range(nch):
+    for ch in range(res_nch):
         r = (rng >> ch) | (ch << 13)
         cls_ch.append([(r >> i) & 1 for i in range(parts)])
     ci = 0
     while ci < parts:
-        for ch in range(nch):  # pass-0 classwords, channel-interleaved
+        for ch in range(res_nch):  # pass-0 classwords, channel-interleaved
             cls = cls_ch[ch]
             _write_code(w, classbook, cls[ci] * 2 +
                         (cls[ci + 1] if ci + 1 < parts else 0))
         for k in range(2):
             if ci + k >= parts:
                 break
-            for ch in range(nch):
+            for ch in range(res_nch):
                 if cls_ch[ch][ci + k] == 1:
                     for i in range(vq_words):
                         # sweep the whole book incl. the deepest codewords
@@ -534,6 +553,21 @@ VARIANTS = {
     "f1_lookup1_book": F1Spec(res_book="lookup1"),
     # stereo, three modes over two mappings, square-polar coupling
     "f1_three_modes_coupled": F1Spec(three_modes_coupled=True),
+    # stereo TYPE-2 residue with a dim-3 book and a lane-aligned end:
+    # ceil(end/2)=128 lands exactly on the 128-lane w_eff boundary, and
+    # dim 3 does not divide partition_size 32, so every partition's final
+    # vector is read whole with its tail CLIPPED at the partition boundary
+    # (libvorbis-oracle semantics, the one loop where lewton disagrees —
+    # see residue.py). Before the partition-clip fix the native stereo
+    # direct-write fast path accumulated the unclipped span and, at this
+    # exact geometry, wrote past the channel row — a real heap overflow.
+    "f1_type2_dim3_lane": F1Spec(bs0_exp=10, bs1_exp=10, two_modes=False,
+                                 type2_stereo=True, res_book="dim3",
+                                 residue_end=256, partition_size=32),
+    # mono type-1 twin of the same geometry (end=128 exactly lane-aligned)
+    "f1_dim3_lane": F1Spec(bs0_exp=9, bs1_exp=9, two_modes=False,
+                           res_book="dim3", residue_end=128,
+                           partition_size=32),
 }
 
 
