@@ -15,10 +15,12 @@ and granule bookkeeping:
 
 A *source* is an object with ``async def read(n) -> bytes`` (asyncio's
 StreamReader qualifies; empty bytes = end of stream) or an async iterator
-of byte chunks. Like the reference's async API ("only supports the main
-use case of pure audio ogg files"), chained-stream re-initialization
-assumes a chain link's three header packets arrive within the already-fed
-bytes — feed at page granularity (any real transport does) and this holds.
+of byte chunks. Any chunking works, including byte-at-a-time: when a
+chain link's comment/setup packets have not been fed yet, the sync
+reader's resumable re-init (inside_ogg `_resumable_chain`) pushes the
+consumed packets back and this wrapper awaits more bytes — a link's BOS
+ident page and its comment/setup page are always separate pages, so this
+is the common case, not a corner.
 
 For decoding *many* concurrent streams on the TPU, use serve.py's
 StreamingScheduler instead — this module is the per-stream convenience
@@ -158,6 +160,9 @@ class AsyncOggStreamReader:
                     "seek is not available on a live async stream")
 
         self._osr = OggStreamReader(_Replay(self._rdr), backend=backend)
+        # chained-stream re-inits must surface "need more data" (None) so
+        # read_dec_packet can await more bytes, not raise mid-chain
+        self._osr._resumable_chain = True
         return self
 
     # header surface (ref: pub ident_hdr/comment_hdr/setup_hdr fields)

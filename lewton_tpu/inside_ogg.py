@@ -107,6 +107,15 @@ class OggStreamReader:
         #: True until any audio packet is consumed or the reader seeks —
         #: gates the one-call native whole-stream path (read_all_i16)
         self._pristine = True
+        #: incremental-feed support for chained streams: when the packet
+        #: source can temporarily run dry (async feed), a chain link's
+        #: comment/setup packets may not have been fed yet. With
+        #: `_resumable_chain` set (aio.AsyncOggStreamReader does), the
+        #: re-init pushes the consumed packets back onto `_chain_pending`
+        #: and surfaces None ("need more data") instead of raising; the
+        #: retry re-runs the re-init from the pushed-back BOS packet.
+        self._chain_pending: list = []
+        self._resumable_chain = False
 
     # ------------------------------------------------------------------ #
 
@@ -175,12 +184,28 @@ class OggStreamReader:
             self._jax_dec.reset()
         self._decode_started = False
 
+    def _next_raw_packet(self) -> Packet | None:
+        if self._chain_pending:
+            return self._chain_pending.pop(0)
+        return self.rdr.read_packet()
+
+    def _chain_starved(self, consumed: list) -> None:
+        """A chain link's header packets are split across input that has
+        not been fed yet. Resumable (async) readers push the consumed
+        packets back and report 'need more data'; on a complete stream
+        this is truncation mid-chain-headers, an error (ref parity:
+        read_packet_expected, lewton src/inside_ogg.rs:129-137)."""
+        if self._resumable_chain:
+            self._chain_pending = consumed + self._chain_pending
+            return None
+        raise OggError("unexpected end of ogg stream")
+
     def read_next_audio_packet(self) -> Packet | None:
         """Next audio packet of the current stream; handles chained-ogg
         re-init (ref: lewton src/inside_ogg.rs:114-158)."""
         self._pristine = False
         while True:
-            pck = self.rdr.read_packet()
+            pck = self._next_raw_packet()
             if pck is None:
                 return None
             if pck.stream_serial == self.stream_serial:
@@ -191,10 +216,16 @@ class OggStreamReader:
                 # an empty window it decodes to 0 samples, which is exactly
                 # the reference's "prime and discard" behavior
                 # (lewton src/inside_ogg.rs:121-154) without a special path.
+                # State only mutates once all three header packets are in
+                # hand, so a starved re-init is safely retryable.
                 ident = read_header_ident(pck.data)
-                pck2 = self.rdr.read_packet_expected()
+                pck2 = self._next_raw_packet()
+                if pck2 is None:
+                    return self._chain_starved([pck])
                 comment = read_header_comment(pck2.data)
-                pck3 = self.rdr.read_packet_expected()
+                pck3 = self._next_raw_packet()
+                if pck3 is None:
+                    return self._chain_starved([pck, pck2])
                 self.ident_hdr = ident
                 self.comment_hdr = comment
                 self._setup_hdr = None  # lazy parse (see setup_hdr property)

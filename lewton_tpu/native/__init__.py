@@ -408,7 +408,10 @@ def decode_ogg_i16(data: bytes, channels: int, n1: int):
         raise AudioBadFormat("undecodable packet")
     if n < 0:
         return None  # -2/-3/-4: fall back to the Python loop
-    return pcm[:, :n], int(absgp.value)
+    # copy: a plain slice view would pin the whole worst-case-sized
+    # backing buffer (cap is ~1.5-2x the real output) for the caller's
+    # lifetime
+    return np.ascontiguousarray(pcm[:, :n]), int(absgp.value)
 
 
 def demux_spans(data: bytes):

@@ -53,6 +53,28 @@ def test_async_matches_sync(corpus_dir, backend):
     assert rdr.get_last_absgp() == want.shape[1]
 
 
+@pytest.mark.parametrize("step", [555, 17])
+def test_async_chained_stream(corpus_dir, step):
+    """Chained Ogg through the async reader: a new link's BOS ident page
+    and its comment/setup page are SEPARATE pages, so with incremental
+    feeding the re-init always hits a starved demuxer mid-headers. The
+    resumable chain re-init (inside_ogg._resumable_chain) must push back
+    and await more bytes rather than raise OggError mid-stream."""
+    data = open(os.path.join(corpus_dir, "chained_44k.ogg"), "rb").read()
+    got, rdr = asyncio.run(_collect(data, step=step, backend="numpy"))
+    sync = OggStreamReader(data, backend="numpy")
+    chunks = []
+    while True:
+        pcm = sync.read_dec_packet()
+        if pcm is None:
+            break
+        if pcm.shape[1]:
+            chunks.append(pcm)
+    want = np.concatenate(chunks, axis=1)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
 def test_headers_reader(corpus_dir):
     data = open(os.path.join(corpus_dir, "mono_16k_q3.ogg"), "rb").read()
 
