@@ -31,6 +31,18 @@ void lt_decoder_free(DecoderOpaque*);
 int lt_decoder_decode(DecoderOpaque*, const uint8_t*, size_t, float*);
 int64_t lt_decode_ogg_i16(const OggReaderOpaque*, int16_t*, int64_t,
                           int64_t*);
+struct StreamOpaque;
+StreamOpaque* lt_stream_new(const uint8_t*, size_t, const uint8_t*, size_t,
+                            char*, size_t);
+void lt_stream_free(StreamOpaque*);
+int lt_stream_channels(const StreamOpaque*);
+int lt_stream_n1(const StreamOpaque*);
+int lt_stream_max_posts(const StreamOpaque*);
+int lt_stream_f0_order_max(const StreamOpaque*);
+int lt_decode_chunk(StreamOpaque*, const uint8_t*, const uint64_t*,
+                    const uint64_t*, int, int32_t*, uint8_t*, uint8_t*,
+                    uint8_t*, float*, uint8_t*, int32_t*, uint8_t*, float*,
+                    float*, int);
 }
 
 static uint32_t rng_state = 0x1234567;
@@ -88,6 +100,51 @@ static int decode_all(const std::vector<uint8_t>& data) {
     if (r > 0) decoded += r;
   }
   lt_decoder_free(dec);
+
+  // Chunk-batch entry with deliberately TIGHT residue row widths: the
+  // rw-clipped accumulate paths (stereo type-2 direct-write, type-0/1
+  // tails) are exactly where a bounds bug corrupts the adjacent channel
+  // row or the next packet's frame — and the lt_decoder path above never
+  // exercises them (it always uses rw = n1/2).
+  StreamOpaque* stm = lt_stream_new(mine[0].first, mine[0].second,
+                                    mine[2].first, mine[2].second, err,
+                                    sizeof(err));
+  if (stm) {
+    const size_t C = (size_t)lt_stream_channels(stm);
+    const size_t P = (size_t)lt_stream_max_posts(stm);
+    const size_t Om = (size_t)lt_stream_f0_order_max(stm);
+    const int W = lt_stream_n1(stm) / 2;
+    int T = (int)mine.size() - 3;
+    if (T > 8) T = 8;
+    if (T > 0 && C <= 16) {
+      std::vector<uint8_t> buf;
+      std::vector<uint64_t> offs(T), lens(T);
+      for (int t = 0; t < T; ++t) {
+        offs[t] = buf.size();
+        lens[t] = mine[3 + t].second;
+        buf.insert(buf.end(), mine[3 + t].first,
+                   mine[3 + t].first + mine[3 + t].second);
+      }
+      const int widths[5] = {1, 127, 128, 129, W};
+      for (int rw : widths) {
+        if (rw < 1 || rw > W) continue;
+        std::vector<int32_t> mode(T);
+        std::vector<uint8_t> prevf(T), nextf(T), status(T);
+        std::vector<float> residue((size_t)T * C * rw);
+        std::vector<uint8_t> f_kind((size_t)T * C);
+        std::vector<int32_t> f1_ys((size_t)T * C * P);
+        std::vector<uint8_t> f1_flags((size_t)T * C * P);
+        std::vector<float> f0_cosc((size_t)T * C * (Om ? Om : 1));
+        std::vector<float> f0_amp((size_t)T * C);
+        lt_decode_chunk(stm, buf.data(), offs.data(), lens.data(), T,
+                        mode.data(), prevf.data(), nextf.data(),
+                        status.data(), residue.data(), f_kind.data(),
+                        f1_ys.data(), f1_flags.data(), f0_cosc.data(),
+                        f0_amp.data(), rw);
+      }
+    }
+    lt_stream_free(stm);
+  }
   return decoded;
 }
 
