@@ -568,6 +568,10 @@ VARIANTS = {
     "f1_dim3_lane": F1Spec(bs0_exp=9, bs1_exp=9, two_modes=False,
                            res_book="dim3", residue_end=128,
                            partition_size=32),
+    # residue end NOT a multiple of partition_size: partitions_to_read
+    # floors (spec 8.6.2), so the tail [begin+parts*psize, end) is never
+    # decoded and must stay zero in every backend
+    "f1_end_tail": F1Spec(residue_end=56),
 }
 
 
