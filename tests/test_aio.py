@@ -53,16 +53,19 @@ def test_async_matches_sync(corpus_dir, backend):
     assert rdr.get_last_absgp() == want.shape[1]
 
 
-@pytest.mark.parametrize("step", [555, 17])
-def test_async_chained_stream(corpus_dir, step):
+@pytest.mark.parametrize("step,backend", [(555, "numpy"), (17, "numpy"),
+                                          (555, "native")])
+def test_async_chained_stream(corpus_dir, step, backend):
     """Chained Ogg through the async reader: a new link's BOS ident page
     and its comment/setup page are SEPARATE pages, so with incremental
     feeding the re-init always hits a starved demuxer mid-headers. The
     resumable chain re-init (inside_ogg._resumable_chain) must push back
     and await more bytes rather than raise OggError mid-stream."""
+    if backend == "native" and not native.available():
+        pytest.skip("native library not built")
     data = open(os.path.join(corpus_dir, "chained_44k.ogg"), "rb").read()
-    got, rdr = asyncio.run(_collect(data, step=step, backend="numpy"))
-    sync = OggStreamReader(data, backend="numpy")
+    got, rdr = asyncio.run(_collect(data, step=step, backend=backend))
+    sync = OggStreamReader(data, backend=backend)
     chunks = []
     while True:
         pcm = sync.read_dec_packet()
