@@ -50,6 +50,11 @@ class _StreamState:
     errors: list = field(default_factory=list)
     reader: object = None  # IncrementalPacketReader for fed streams
     serial: int | None = None
+    #: dispatched-but-uncollected PCM slices referencing this stream —
+    #: is_done must stay False while any are in flight (the pipeline keeps
+    #: the newest step uncollected, so `done and not out` alone can drop
+    #: the final chunk's audio)
+    inflight: int = 0
 
 
 class _Group:
@@ -215,6 +220,8 @@ class _Group:
             if st.fed >= len(st.packets) and st.packets and \
                     st.packets[-1].last_in_stream:
                 st.done = True
+        for st_, _, _, _ in plan:
+            st_.inflight += 1
         self._inflight.append((pcm, plan, dev))
 
     def collect(self, drain: bool = False) -> None:
@@ -225,6 +232,7 @@ class _Group:
             pcm = np.asarray(pcm)  # [S, cap, C] i16
             for st, slot, pos, keep in plan:
                 st.out.append(pcm[slot, pos : pos + keep])
+                st.inflight -= 1
 
     @staticmethod
     def _apply_absgp(st: _StreamState, pck, n: int) -> int:
@@ -355,8 +363,11 @@ class StreamingScheduler:
         if sid in self.pending:
             return False
         _, st = self.streams[sid]
-        return st.done and not st.out
+        return st.done and not st.out and st.inflight == 0
 
     def remove_stream(self, sid) -> None:
+        if sid in self.pending:  # headers never completed: just unregister
+            del self.pending[sid]
+            return
         grp, st = self.streams.pop(sid)
         grp.remove(st)

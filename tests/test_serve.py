@@ -200,3 +200,42 @@ def test_scheduler_group_overflow_spawns_new_group(corpus_dir):
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
     assert len(next(iter(sched.groups.values()))) == 3  # ceil(5/2)
+
+
+def test_is_done_waits_for_inflight_pcm(corpus_dir):
+    """A stream whose final chunk is still in the pipeline (kept inflight
+    while ANOTHER group has pending work) must not report done — a caller
+    stopping at is_done would drop the last chunk's PCM."""
+    small = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
+    big = open(os.path.join(corpus_dir, "mono_8k_q-1.ogg"), "rb").read()
+    sched = StreamingScheduler(capacity=2, chunk=8)
+    sched.add_stream("small", small)   # its group finishes first
+    sched.add_stream("big", big)       # DIFFERENT group, keeps stepping
+    got = []
+    stopped = False
+    while sched.step():
+        got.append(sched.poll("small"))
+        if sched.is_done("small"):
+            stopped = True   # caller is allowed to stop here for good
+            break
+    if not stopped:
+        got.append(sched.poll("small"))
+        assert sched.is_done("small")
+    want = OggStreamReader(small, backend="numpy").read_all_i16()
+    out = np.concatenate([g for g in got if g.size] or
+                         [np.zeros((0, want.shape[1]), np.int16)], axis=0)
+    # is_done True must imply ALL PCM was pollable (the device path is
+    # allowed the usual 1 LSB vs the numpy oracle)
+    assert out.shape == want.shape
+    assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_remove_pending_stream():
+    """Removing a stream whose headers never completed must unregister it
+    cleanly (not KeyError)."""
+    sched = StreamingScheduler(capacity=2, chunk=8)
+    sched.add_stream("half")           # no bytes at all
+    sched.feed("half", b"OggS\x00")    # partial page
+    sched.remove_stream("half")
+    assert "half" not in sched.pending
+    sched.add_stream("half")           # id reusable after removal
