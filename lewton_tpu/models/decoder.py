@@ -385,6 +385,28 @@ def pack_frames(cs: CompiledSetup, plans: list[PacketPlan], chunk: int) -> dict:
     return fr
 
 
+def compact_invalid_frames(fr: dict) -> None:
+    """Make each stream's valid frames a chunk PREFIX, in place.
+
+    The device overlap-add treats invalid slots as a chunk SUFFIX
+    (ops/windowing.py: the carry indexes ``new_pwr[nvalid-1]``
+    positionally and neighbors mix against the adjacent slot) — a
+    mid-chunk invalid frame would feed the next packet a garbage window
+    carry. Compacting good frames to the front reproduces the reference's
+    per-packet semantics exactly: a bad packet emits no PCM and leaves
+    the window state untouched. Leaves are [S, T, ...] numpy arrays;
+    streams whose invalids already form a suffix are untouched."""
+    valid = fr["valid"]
+    for s in range(valid.shape[0]):
+        v = valid[s]
+        n = int(v.sum())
+        if n and not v[:n].all():
+            good = np.flatnonzero(v)
+            for arr in fr.values():
+                arr[s, :n] = arr[s][good]
+                arr[s, n:] = 0
+
+
 # --------------------------------------------------------------------------- #
 # The jitted device pipeline
 # --------------------------------------------------------------------------- #
@@ -412,6 +434,10 @@ def _floor_kernel_ok(cs, fr, allow_fused: bool = True) -> bool:
     return (allow_fused and "f1_brackets" not in fr
             and jax.default_backend() == "tpu"
             and pallas_floor_supported(cs, fr["mode"].shape[0])
+            # the kernel's pads/BlockSpecs are 2-d: require the FLAT
+            # [T, C*W] layout (a mono [T, 1, W] residue satisfies the
+            # width check but would fail inside the kernel)
+            and fr["residue"].ndim == 2
             and fr["residue"].shape[-1] == cs.channels * cs.w_eff)
 
 
@@ -760,18 +786,33 @@ class StreamDecoder:
                     self._native.residue_dtype = np.int16
             elif frontend == "native":
                 raise RuntimeError("native front-end requested but not built")
+        elif frontend == "native":
+            raise ValueError(
+                "frontend='native' requires raw_headers=(ident, setup) — "
+                "the C++ parser consumes the raw header packets")
 
     def reset(self) -> None:
         self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
 
     def entropy_chunk(self, packets: list[bytes]) -> dict:
-        """Host half for one chunk: packets -> dense frames (numpy dict)."""
+        """Host half for one chunk: packets -> dense frames (numpy dict).
+
+        STRICT: raises on any non-audio or undecodable packet (the same
+        exceptions the python front-end's decode_packet_entropy raises, so
+        behavior does not depend on which front-end is built). Strictness
+        also guarantees `valid` is a chunk prefix — the overlap-add
+        contract (ops/windowing.py). Tolerant callers use
+        :meth:`entropy_chunk_status` / :meth:`entropy_chunk_batch`."""
         if self._native is not None:
             fr, status = self._native.decode_chunk(packets, self.chunk)
-            if (status[: len(packets)] > 1).any():
-                from ..errors import AudioBadFormat
+            st = status[: len(packets)]
+            if (st != 0).any():
+                from ..errors import AudioBadFormat, AudioIsHeader
 
-                bad = int(np.argmax(status[: len(packets)] > 1))
+                bad = int(np.argmax(st != 0))
+                if st[bad] == 1:
+                    raise AudioIsHeader(
+                        f"header packet at chunk index {bad}")
                 raise AudioBadFormat(f"undecodable packet at chunk index {bad}")
             return fr
         plans = [
@@ -821,7 +862,13 @@ class StreamDecoder:
         defaults to the machine's core count (threading on a 1-core host
         only adds switching overhead). ``out`` reuses a frame-buffer dict
         from a previous chunk (the [S, T, ...] allocations are the
-        dominant per-chunk host cost after the decode itself)."""
+        dominant per-chunk host cost after the decode itself).
+
+        TOLERANT (regardless of front-end): non-audio/undecodable packets
+        are skipped — they emit no PCM and leave the stream's window state
+        untouched (per-packet reference semantics) — by compacting each
+        stream's good frames to a chunk prefix (see
+        :func:`compact_invalid_frames`)."""
         import os as _os
 
         S = len(streams)
@@ -848,15 +895,18 @@ class StreamDecoder:
                     bufs[si] = sp.data.ctypes.data
                 self._native.decode_chunk_batch_view(
                     bufs, offs, lens, counts, fr, threads=threads)
+                compact_invalid_frames(fr)
                 return fr
             # one native call for the whole batch (native std::thread
             # workers when multi-core): the per-stream Python marshaling
             # measured ~25% of front-end wall time
             self._native.decode_chunk_batch(streams, self.chunk, fr,
                                             threads=threads)
+            compact_invalid_frames(fr)
             return fr
-        frs = [self.entropy_chunk(pcks) for pcks in streams]
+        frs = [self.entropy_chunk_status(pcks)[0] for pcks in streams]
         stacked = {k: np.stack([f[k] for f in frs]) for k in frs[0]}
+        compact_invalid_frames(stacked)
         if out is not None:
             for k in out:
                 out[k][...] = stacked[k]

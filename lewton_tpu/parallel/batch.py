@@ -28,12 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ..models.decoder import (
-    CompiledSetup,
-    decode_frames_core,
-    finish_stream,
-    synthesize_audio,
-)
+from ..models.decoder import CompiledSetup, decode_frames_core
 from ..ops.windowing import init_window_carry
 
 __all__ = [
@@ -104,25 +99,26 @@ def _imdct_tp(spectra, bf, m0, m1, axis: str = "tp", ntp: int = 1):
     """
     from ..ops.imdct import imdct_einsum
 
-    ti = jax.lax.axis_index(axis)
+    def shard(mat, spec, wk):
+        # zero-pad the contraction axis to an ntp multiple (trace-time
+        # structural pad; zero rows contribute zero to the psum) — a
+        # floor-divided shard width silently DROPPED the tail rows for any
+        # ntp that does not divide the spectral width (wrong audio, no
+        # error)
+        w = mat.shape[0]
+        spec = spec[..., :w]
+        if wk * ntp != w:
+            mat = jnp.pad(mat, [(0, wk * ntp - w), (0, 0)])
+            spec = jnp.pad(spec, [(0, 0), (0, 0), (0, wk * ntp - w)])
+        ti = jax.lax.axis_index(axis)
+        sl = jax.lax.dynamic_slice_in_dim(spec, ti * wk, wk, axis=2)
+        mk = jax.lax.dynamic_slice_in_dim(mat, ti * wk, wk, axis=0)
+        return imdct_einsum("tck,kn->tcn", sl, mk)
+
     n0, n1 = m0.shape[1], m1.shape[1]
-    w = m1.shape[0]
-    wk = w // ntp
-    sl = jax.lax.dynamic_slice_in_dim(spectra, ti * wk, wk, axis=2)
-    m1k = jax.lax.dynamic_slice_in_dim(m1, ti * wk, wk, axis=0)
-    long_out = imdct_einsum("tck,kn->tcn", sl, m1k)
+    long_out = shard(m1, spectra, -(-m1.shape[0] // ntp))
     if n0 != n1:
-        w0 = m0.shape[0]
-        w0k = max(w0 // ntp, 1)
-        # short matrix: shard only while it divides evenly; tail shards idle
-        s0 = jax.lax.dynamic_slice_in_dim(
-            spectra, jnp.minimum(ti * w0k, w0 - w0k), w0k, axis=2
-        )
-        m0k = jax.lax.dynamic_slice_in_dim(
-            m0, jnp.minimum(ti * w0k, w0 - w0k), w0k, axis=0
-        )
-        short_out = imdct_einsum("tck,kn->tcn", s0, m0k)
-        short_out = jnp.where(ti * w0k <= w0 - w0k, short_out, 0.0)
+        short_out = shard(m0, spectra, -(-m0.shape[0] // ntp))
         short_out = jnp.pad(short_out, [(0, 0), (0, 0), (0, n1 - n0)])
         partial_out = jnp.where((bf == 1)[:, None, None], long_out, short_out)
     else:
@@ -274,11 +270,14 @@ class BatchDecoder:
         )
         outs: list[list[np.ndarray]] = [[] for _ in range(S)]
         for t0 in range(0, max_t, self.chunk):
-            frs = [
-                self._sd.entropy_chunk(pks[t0 : t0 + self.chunk])
-                for pks in streams
-            ]
-            fr = {k: jnp.asarray(np.stack([f[k] for f in frs])) for k in frs[0]}
+            # tolerant batch front-end: bad packets are skipped (compacted
+            # to a valid prefix — they emit no PCM and leave the window
+            # state untouched; output slots past a stream's good count
+            # decode to length 0, so the per-(s, t) slicing below is
+            # unchanged)
+            fr_np = self._sd.entropy_chunk_batch(
+                [pks[t0 : t0 + self.chunk] for pks in streams])
+            fr = {k: jnp.asarray(v) for k, v in fr_np.items()}
             if self.mesh is not None:
                 (out, out_len), carry = decode_chunk_sharded(
                     self.mesh, self.cs, fr, carry
@@ -379,7 +378,17 @@ class BatchDecoder:
                 pcm.copy_to_host_async()
             except Exception:  # noqa: BLE001 — backend without async copy
                 pass
-            chunks.append((pcm, totals, lens if compact == "host" else None))
+            # mesh branch always device-compacts, so its output must take
+            # the compacted slicing path regardless of `compact`
+            host_lens = lens if (compact == "host"
+                                 and self.mesh is None) else None
+            chunks.append((pcm, totals, host_lens))
+            # materialize the PREVIOUS chunk now (its async D2H had a full
+            # chunk's compute to drain): holding every chunk's device
+            # array until the end grows HBM linearly with stream length
+            if len(chunks) >= 2:
+                p_old, t_old, l_old = chunks[-2]
+                chunks[-2] = (np.asarray(p_old), t_old, l_old)
         # exact-size outputs, filled with one copy pass per chunk
         sums = np.zeros(S, np.int64)
         for _, totals, _ in chunks:

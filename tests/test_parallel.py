@@ -139,3 +139,76 @@ def test_decode_chunks_scan_matches_sequential():
         assert np.array_equal(np.asarray(out_lens[i]), seq_outs[i][1]), i
     for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_non_divisible_spectral_width(corpus_dir):
+    """ntp that does NOT divide the spectral width (896 % 3 != 0): the
+    sharded IMDCT must zero-pad the contraction, not silently drop the
+    tail rows (the floor-divided shard width lost them -> wrong audio
+    with no error)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 virtual devices")
+    path = os.path.join(corpus_dir, "tiny_44k.ogg")
+    headers, pcks = _audio_packets(path)
+    plain = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    sharded = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                           mesh=make_mesh(2, 3))
+    a = plain.decode_streams([pcks, pcks])
+    b = sharded.decode_streams([pcks, pcks])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-6)
+
+
+def test_mesh_host_compaction(corpus_dir):
+    """mesh + compact='host': the mesh path always device-compacts, and
+    the output slicing must follow (it used to crash slicing the
+    compacted array as a padded-flat chunk)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    headers, pcks = _audio_packets(path)
+    a = BatchDecoder(headers.ident, headers.setup,
+                     chunk=16).decode_streams_i16([pcks, pcks])
+    b = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                     mesh=make_mesh(2, 1)).decode_streams_i16(
+                         [pcks, pcks], compact="host")
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_batch_skips_bad_packets_mid_chunk(corpus_dir, use_native):
+    """A non-audio packet mid-chunk must be SKIPPED — no PCM, window state
+    untouched — so the stream decodes exactly as if it were absent.
+    (Mid-chunk invalid frames used to reach the device un-compacted,
+    violating the overlap-add suffix contract and corrupting every
+    following packet's carry.)"""
+    from lewton_tpu import native as native_mod
+
+    if use_native and not native_mod.available():
+        pytest.skip("native library not built")
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    headers, pcks = _audio_packets(path)
+    raw = (headers.raw_ident, headers.raw_setup) if use_native else None
+    frontend = "native" if use_native else "python"
+    bad = b"\x01vorbis" + b"\x00" * 20  # header packet in the audio stream
+    hostile = pcks[:40]
+    hostile.insert(5, bad)  # mid-chunk (chunk=16)
+    dec = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                       raw_headers=raw, frontend=frontend)
+    got = dec.decode_streams_i16([hostile])[0]
+    dec2 = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                        raw_headers=raw, frontend=frontend)
+    want = dec2.decode_streams_i16([pcks[:40]])[0]
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    # same through the f32 path
+    dec3 = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                        raw_headers=raw, frontend=frontend)
+    got_f = np.concatenate(
+        [o for o in [dec3.decode_streams([hostile])[0]] if o.size], axis=-1)
+    dec4 = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                        raw_headers=raw, frontend=frontend)
+    want_f = dec4.decode_streams([pcks[:40]])[0]
+    np.testing.assert_array_equal(got_f, want_f)
