@@ -85,8 +85,12 @@ def floor1_curve_batch(
         jnp.where(fl4 & (xs4 <= binx), pack4, NONE_LO), axis=2
     )  # [T, C, W]
     hi = jnp.min(jnp.where(fl4 & (xs4 > binx), pack4, NONE_HI), axis=2)
-    lo_x = lo >> 11
-    lo_y = lo & 2047
+    # a row with NO flagged posts (unused channel / padding) must yield the
+    # minimum curve like the bracket-GEMM path, not -1>>11 garbage packs
+    # (callers mask via f_used, but the two exported ops should agree)
+    no_lo = lo == NONE_LO
+    lo_x = jnp.where(no_lo, 0, lo >> 11)
+    lo_y = jnp.where(no_lo, 0, lo & 2047)
     no_hi = hi == NONE_HI
     hi_x = jnp.where(no_hi, lo_x + 1, hi >> 11)
     hi_y = jnp.where(no_hi, lo_y, hi & 2047)
@@ -171,9 +175,10 @@ def floor1_brackets_mxu(
     mode: jnp.ndarray,  # i32 [T]
     step: jnp.ndarray,  # f32 [C, M*(P+1), W] static (xs[m,c,p] <= w),
     #                     pre-transposed GEMM layout (floor1_step_matrix)
-    width: int,
-) -> jnp.ndarray:
-    """floor1 post-bracketing on the MXU -> [T, 4, C, W] brackets.
+    width: int | None = None,  # must match step.shape[2] when given
+):
+    """floor1 post-bracketing on the MXU -> 4-tuple of [T, C, W] tensors
+    (lo_x, lo_y, hi_x, hi_y); W is fixed by the step matrix.
 
     Telescoping trick: along the sorted flagged posts, emit per post the
     difference to the previous flagged post (e) and to the next (g, with a
@@ -218,7 +223,7 @@ def floor1_brackets_mxu(
     return lo_x, lo_y, hi_x, hi_y
 
 
-def floor1_curve_mxu(xs, ys, flags, mult, mode, step, width):
+def floor1_curve_mxu(xs, ys, flags, mult, mode, step, width=None):
     """Unfused MXU floor1 curve: brackets + elementwise render."""
     br = floor1_brackets_mxu(xs, ys, flags, mult, mode, step, width)
     return floor1_render(br)
@@ -236,31 +241,48 @@ def floor1_render(brackets):
     cross an integer. Integer divisions would be exact too, but act as XLA
     fusion barriers and cost far more VPU cycles.
     """
-    one64 = jnp.float32(64.0)
     lo_x, lo_y, hi_x, hi_y = brackets
     T, C, width = lo_x.shape
     binx = jax.lax.broadcasted_iota(
         jnp.int32, (T, C, width), 2).astype(jnp.float32)
+    return floor1_db_value(bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx))
 
-    def fdiv(x, y):
-        # exact floor(x / y) for integer-valued f32 with x < 2^22, y >= 1:
-        # TPU f32 division is approximate (reciprocal + refinement, not
-        # IEEE), so correct the candidate with one exact remainder step
-        # (the approximation error is well under 1, so the true floor is
-        # within +/-1 of the candidate; all products stay < 2^24 exact)
-        q = jnp.floor(x / y)
-        r = x - q * y
-        q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
-        q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
-        return q
 
+def fdiv(x, y):
+    """Exact floor(x / y) for integer-valued f32 with x < 2^22, y >= 1.
+
+    TPU f32 division is approximate (reciprocal + refinement, not IEEE),
+    so correct the candidate with one exact remainder step (the
+    approximation error is well under 1, so the true floor is within +/-1
+    of the candidate; all products stay < 2^24 exact)."""
+    q = jnp.floor(x / y)
+    r = x - q * y
+    q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
+    q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
+    return q
+
+
+def bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f):
+    """Exact-f32 closed-form integer Bresenham between the bracketing
+    posts -> clipped floor1 index in [0, 255] (f32). All operands f32
+    integer-valued.
+
+    THE one copy of the numerics contract (floor1_render and both Pallas
+    kernels call this; pure jnp, so it traces identically inside Pallas):
+    every intermediate is an exactly-representable integer (< 2^24):
+    d < 2^12, ady_r < 2^15 is split as ah*64 + al so the products stay
+    < 2^22, and both floor-divisions have quotients < 2^24/adx, where
+    correctly-rounded f32 division cannot cross an integer. Integer
+    divisions would be exact too, but act as XLA fusion barriers and cost
+    far more VPU cycles."""
+    one64 = jnp.float32(64.0)
     dy = hi_y - lo_y
     adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
     sgn = jnp.sign(dy)
     ady = jnp.abs(dy)
     base = sgn * fdiv(ady, adx)  # == trunc(dy/adx)
     ady_r = ady - jnp.abs(base) * adx
-    d = binx - lo_x
+    d = binx_f - lo_x
     ah = jnp.floor(ady_r / one64)  # power-of-two divide: exact everywhere
     al = ady_r - ah * one64
     a_hi = d * ah
@@ -268,8 +290,7 @@ def floor1_render(brackets):
     r1 = a_hi - q1 * adx
     k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
     y = lo_y + base * d + sgn * k
-    idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-    return floor1_db_value(idx)
+    return jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
 
 
 def floor1_step_matrix(f1_xs: "np_like", width: int):

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .floor_curve import floor1_db_value
+from .floor_curve import bresenham_idx, floor1_db_value
 
 __all__ = ["floor_spectra_pallas", "pallas_floor_supported"]
 
@@ -58,17 +58,18 @@ def pallas_floor_supported(cs, T: int) -> bool:
             and (cs.w_eff * cs.channels) % 128 == 0):
         return False
     M = cs.f1_step.shape[1] // (cs.max_posts + 1)
-    return (cs.channels <= 8 and M * (cs.max_posts + 1) <= 2048
-            and cs.channels * cs.w_eff <= 16384)
-
-
-def _fdiv(x, y):
-    # exact floor(x / y) for integer-valued f32 (see floor_curve.fdiv)
-    q = jnp.floor(x / y)
-    r = x - q * y
-    q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
-    q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
-    return q
+    if not (cs.channels <= 8 and M * (cs.max_posts + 1) <= 2048
+            and cs.channels * cs.w_eff <= 16384):
+        return False
+    # VMEM footprint of the resident blocks: the per-dimension bounds
+    # above still admit setups whose PRODUCT explodes (e.g. C=8 x
+    # Kp=2048 x W=2048 step = 64 MB in ~16 MB VMEM — Mosaic would fail
+    # to compile instead of falling back to XLA)
+    Kp = -(-M * (cs.max_posts + 1) // 128) * 128
+    step_b = cs.channels * Kp * cs.w_eff * 2  # bf16 step matrix
+    res_b = MAX_ROWS * cs.channels * cs.w_eff * 4  # residue block
+    out_b = cs.channels * MAX_ROWS * cs.w_eff * 4  # f32 out block
+    return step_b + res_b + out_b <= 10 * 1024 * 1024
 
 
 def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
@@ -79,7 +80,6 @@ def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
     mode = sc_ref[:, 0:1]  # f32 [R, 1]
     binx_f = jax.lax.broadcasted_iota(
         jnp.int32, (R, W), 1).astype(jnp.float32)
-    one64 = jnp.float32(64.0)
 
     curves = []
     res = []
@@ -115,23 +115,10 @@ def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
         hi_x = gx_full - gxc
         hi_y = gy_full - gyc
 
-        # ---- exact f32 Bresenham + inverse-dB exp (floor_curve.fdiv) ----
-        dy = hi_y - lo_y
-        adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
-        sgn = jnp.sign(dy)
-        ady = jnp.abs(dy)
-        base = sgn * _fdiv(ady, adx)
-        ady_r = ady - jnp.abs(base) * adx
-        d = binx_f - lo_x
-        ah = jnp.floor(ady_r / one64)
-        al = ady_r - ah * one64
-        a_hi = d * ah
-        q1 = _fdiv(a_hi, adx)
-        r1 = a_hi - q1 * adx
-        k = q1 * one64 + _fdiv(r1 * one64 + d * al, adx)
-        y = lo_y + base * d + sgn * k
-        idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-        curve = floor1_db_value(idx)
+        # ---- exact f32 Bresenham + inverse-dB exp (the ONE shared
+        # copy of the numerics contract: floor_curve.bresenham_idx) ----
+        curve = floor1_db_value(
+            bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f))
         used = sc_ref[:, 1 + c : 2 + c]  # f32 0/1
         curves.append(curve * used)
         r = res_ref[:, c * W : (c + 1) * W]

@@ -182,28 +182,8 @@ def _dct4_via_split(spectra_ct: jnp.ndarray, n: int) -> jnp.ndarray:
     its width). Output matches the direct form within ~2 f32 ulp (extra
     twiddle/combine roundings); the on-chip gate arbitrates whether that
     fits the +-2 LSB contract before this becomes a default path."""
-    from ..tables import dct4_split_tables
-
-    N = n // 2
-    H = N // 2
-    t2, s2, cos_tw, sin_tw = (jnp.asarray(a) for a in dct4_split_tables(n))
-    K = spectra_ct.shape[-1]
-    a = spectra_ct[..., :H]
-    if K < N:
-        pad = [(0, 0)] * (spectra_ct.ndim - 1) + [(0, N - K)]
-        full = jnp.pad(spectra_ct, pad)
-    else:
-        full = spectra_ct
-    if K <= H:
-        apad = [(0, 0)] * (a.ndim - 1) + [(0, H - K)]
-        a = jnp.pad(a, apad)
-        b = jnp.zeros_like(a)
-    else:
-        b = full[..., H:][..., ::-1]  # b_k = x_{N-1-k}
-    c = cos_tw * a + sin_tw * b
-    d = cos_tw * b - sin_tw * a
-    u = imdct_einsum("ctk,kj->ctj", c, t2)
-    v = imdct_einsum("ctk,kj->ctj", d, s2)
+    H = n // 4
+    u, v = dct4_split_uv_ct(spectra_ct, n)
     # X_0 = U_0; X_{2j-1} = U_j - V_{j-1}; X_{2j} = U_j + V_{j-1};
     # X_{N-1} = -V_{H-1}
     uh = u[..., 1:]

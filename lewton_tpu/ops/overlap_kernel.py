@@ -378,7 +378,8 @@ def overlap_i16_pallas(
     #   (or the pre-selected audio when `short_audio` is None; with
     #   x_split, a TUPLE (U, V) of [C, T, n1/4] Wang-split halves)
     short_audio: jnp.ndarray | None,  # f32 [T, C, n0] short-block output
-    scal: jnp.ndarray,  # f32 [T, 9] per-packet scalars (see windowing.py)
+    scal: jnp.ndarray,  # f32 [T, 13] per-packet scalars (column map in
+    #   windowing.overlap_add_i16_kernel_batch: lens/flags/carry/valid cols)
     slopes: jnp.ndarray,  # f32 [4, W] slope0 / slope1 / rev0 / rev1
     pwr0: jnp.ndarray,  # f32 [C, W] carried-in right region
     n0: int,

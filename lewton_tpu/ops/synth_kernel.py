@@ -11,8 +11,12 @@ Channels ride the lane dimension ([T, C*W] layout) so the (small) channel
 count never becomes a sublane-padding waste, and static coupling steps are
 lane-range slices.
 
-Used when the setup has no floor0 and a static coupling list (the common
-case); the decoder falls back to the unfused ops otherwise.
+OPT-IN (models.decoder.USE_FUSED_SYNTH_KERNEL, default False): on this
+chip XLA's own fusion of the unfused ops measured ~1.7x faster (12.8k vs
+7.4k x realtime), and the live fused hot path is ops/floor_kernel.py,
+which superseded this kernel by also folding the bracket GEMM and the
+residue dot into VMEM. Kept as the minimal fused-synthesis reference and
+for A/B runs.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .floor_curve import floor1_db_value
+from .floor_curve import bresenham_idx, floor1_db_value
 
 __all__ = ["fused_floor_couple"]
 
@@ -33,40 +37,17 @@ def _kernel(br_ref, res_ref, used_ref, out_ref, *, C, W, steps):
     R = out_ref.shape[0]
     binx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
-    # ---- floor1 Bresenham + exp per channel (exact f32, see
-    # floor_curve.floor1_render for the two-limb/correction argument) ----
+    # ---- floor1 Bresenham + exp per channel (the ONE shared copy of
+    # the numerics contract: floor_curve.bresenham_idx) ----
     binx_f = binx.astype(jnp.float32)
-    one64 = jnp.float32(64.0)
-
-    def fdiv(x, y):
-        q = jnp.floor(x / y)
-        r = x - q * y
-        q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
-        q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
-        return q
-
     curves = []
     for c in range(C):
         lo_x = br_ref[:, 0, c * W : (c + 1) * W]
         lo_y = br_ref[:, 1, c * W : (c + 1) * W]
         hi_x = br_ref[:, 2, c * W : (c + 1) * W]
         hi_y = br_ref[:, 3, c * W : (c + 1) * W]
-        dy = hi_y - lo_y
-        adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
-        sgn = jnp.sign(dy)
-        ady = jnp.abs(dy)
-        base = sgn * fdiv(ady, adx)
-        ady_r = ady - jnp.abs(base) * adx
-        d = binx_f - lo_x
-        ah = jnp.floor(ady_r / one64)
-        al = ady_r - ah * one64
-        a_hi = d * ah
-        q1 = fdiv(a_hi, adx)
-        r1 = a_hi - q1 * adx
-        k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
-        y = lo_y + base * d + sgn * k
-        idx = jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
-        curve = floor1_db_value(idx)
+        curve = floor1_db_value(
+            bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f))
         used = used_ref[:, c][:, None]  # f32 0/1
         curves.append(curve * used)
 

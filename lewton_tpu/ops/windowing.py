@@ -93,8 +93,7 @@ def overlap_add_batch(
     sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)[:, None, None]
     new_pwr = jnp.where(sel == 0, pwr_long,
                         jnp.where(sel == 1, pwr_lsn, pwr_short))
-    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
-                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+    new_plen = jnp.where(long_blk & next_flag, W, n0 // 2).astype(jnp.int32)
 
     # ---- shift: packet t consumes packet t-1's right region ----
     pwr_seq = jnp.concatenate([pwr0[None], new_pwr[:-1]], axis=0)
@@ -183,8 +182,7 @@ def overlap_add_i16_kernel_batch(
     pwr0, plen0, started0 = carry
     long_blk = blockflag == 1
 
-    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
-                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+    new_plen = jnp.where(long_blk & next_flag, W, n0 // 2).astype(jnp.int32)
     sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)
     plen_seq = jnp.concatenate([plen0[None], new_plen[:-1]])
     sel_prev = jnp.concatenate([jnp.zeros((1,), sel.dtype), sel[:-1]])
@@ -257,8 +255,7 @@ def overlap_add_i16_batch(
     long_blk = blockflag == 1
 
     # ---- per-packet scalars ----
-    new_plen = jnp.where(long_blk & ~next_flag, n0 // 2,
-                         jnp.where(long_blk, W, n0 // 2)).astype(jnp.int32)
+    new_plen = jnp.where(long_blk & next_flag, W, n0 // 2).astype(jnp.int32)
     # right-region class: 0 = long&next [W, n1); 1 = long&!next centered
     # short window [(3n1-n0)/4, ...); 2 = short [n0/2, n0)
     sel = jnp.where(long_blk, jnp.where(next_flag, 0, 1), 2)
