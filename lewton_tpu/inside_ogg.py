@@ -293,86 +293,85 @@ class OggStreamReader:
         ]
         return np.concatenate(chunks, axis=1)
 
-    def _read_all_native(self) -> np.ndarray:
-        """Whole-stream decode through one native call per chain link."""
-        from . import native
+    def _read_all_buffered(self, make_dec, decode_buf,
+                           empty_dtype=np.float32) -> np.ndarray:
+        """Shared whole-stream loop for the batching back-ends (native and
+        jax decode whole buffers per chain link).
 
+        Granule bookkeeping (_apply_absgp) is stateful and RESTARTS at 0
+        in every chain link, while read_next_audio_packet's re-init
+        mutates that state BEFORE the loop sees the new link's first
+        packet — so buffered packets must flush at their link's EOS
+        packet, not when the next link is detected (flushing after the
+        re-init applied link 1's granules on link 2's restarted clock and
+        over-truncated the next link's EOS packet)."""
         outs: list[np.ndarray] = []
-        dec = native.NativeDecoder(*self._raw_headers)
+        dec = make_dec()
         buf: list[Packet] = []
 
         def flush(d):
             if not buf:
                 return
-            pcm, lens = d.decode_many([p.data for p in buf])
+            for pck, pcm in zip(buf, decode_buf(d, [p.data for p in buf])):
+                outs.append(self._apply_absgp(pck, pcm))
+            buf.clear()
+
+        while (pck := self.read_next_audio_packet()) is not None:
+            if self._fresh_link:
+                if buf:  # malformed chain: previous link had no EOS page
+                    flush(dec)
+                    self.cur_absgp = 0  # granules restart per link
+                dec = make_dec()
+                self._fresh_link = False
+            buf.append(pck)
+            if pck.last_in_stream:
+                flush(dec)  # link ends here: apply absgp BEFORE re-init
+        flush(dec)
+        if not outs:
+            return np.zeros((self.ident_hdr.channels, 0), empty_dtype)
+        # chained links may change the channel count; pad to the widest
+        # (reference emits per-packet, we concatenate)
+        ch = max(o.shape[0] for o in outs)
+        outs = [
+            o if o.shape[0] == ch
+            else np.pad(o, [(0, ch - o.shape[0]), (0, 0)])
+            for o in outs
+        ]
+        return np.concatenate(outs, axis=1)
+
+    def _read_all_native(self) -> np.ndarray:
+        """Whole-stream decode through one native call per chain link."""
+        from . import native
+
+        def decode_buf(d, datas):
+            pcm, lens = d.decode_many(datas)
             ch = d.channels
-            flat = pcm.reshape(len(buf), -1)
-            for i, pck in enumerate(buf):
+            flat = pcm.reshape(len(datas), -1)
+            pcms = []
+            for i in range(len(datas)):
                 n = int(lens[i])
                 if n < 0:
                     from .errors import AudioBadFormat
 
                     raise AudioBadFormat("undecodable packet")
                 # rows are packed [C, n] at the packet's own length
-                outs.append(
-                    self._apply_absgp(pck, flat[i, : ch * n].reshape(ch, n))
-                )
-            buf.clear()
+                pcms.append(flat[i, : ch * n].reshape(ch, n))
+            return pcms
 
-        while (pck := self.read_next_audio_packet()) is not None:
-            if self._fresh_link:
-                flush(dec)
-                dec = native.NativeDecoder(*self._raw_headers)
-                self._fresh_link = False
-            buf.append(pck)
-        flush(dec)
-        if not outs:
-            return np.zeros((self.ident_hdr.channels, 0), np.float32)
-        ch = max(o.shape[0] for o in outs)
-        outs = [
-            o if o.shape[0] == ch
-            else np.pad(o, [(0, ch - o.shape[0]), (0, 0)])
-            for o in outs
-        ]
-        return np.concatenate(outs, axis=1)
+        return self._read_all_buffered(
+            lambda: native.NativeDecoder(*self._raw_headers), decode_buf)
 
     def _read_all_jax(self, i16: bool = False) -> np.ndarray:
         from .models.decoder import StreamDecoder
 
-        outs: list[np.ndarray] = []
-        dec = StreamDecoder(self.ident_hdr, self.setup_hdr,
-                            raw_headers=self._raw_headers)
-        buf: list[Packet] = []
+        def decode_buf(d, datas):
+            return (d.decode_packets_i16(datas) if i16
+                    else d.decode_packets(datas))
 
-        def flush(d):
-            if not buf:
-                return
-            pcms = (d.decode_packets_i16([p.data for p in buf]) if i16
-                    else d.decode_packets([p.data for p in buf]))
-            for pck, pcm in zip(buf, pcms):
-                outs.append(self._apply_absgp(pck, pcm))
-            buf.clear()
-
-        while (pck := self.read_next_audio_packet()) is not None:
-            if self._fresh_link:
-                flush(dec)
-                dec = StreamDecoder(self.ident_hdr, self.setup_hdr,
-                                    raw_headers=self._raw_headers)
-                self._fresh_link = False
-            buf.append(pck)
-        flush(dec)
-        if not outs:
-            return np.zeros((self.ident_hdr.channels, 0),
-                            np.int16 if i16 else np.float32)
-        # channel count can change across chain links; pad like the planar
-        # concat would fail otherwise (reference emits per-packet, we concat)
-        ch = max(o.shape[0] for o in outs)
-        outs = [
-            o if o.shape[0] == ch
-            else np.pad(o, [(0, ch - o.shape[0]), (0, 0)])
-            for o in outs
-        ]
-        return np.concatenate(outs, axis=1)
+        return self._read_all_buffered(
+            lambda: StreamDecoder(self.ident_hdr, self.setup_hdr,
+                                  raw_headers=self._raw_headers),
+            decode_buf, np.int16 if i16 else np.float32)
 
     def read_all_i16(self) -> np.ndarray:
         """Convenience: decode the whole stream to interleaved i16
@@ -425,6 +424,15 @@ class OggStreamReader:
             next_pck = self.read_next_audio_packet()
             if next_pck is None:
                 return None, to_skip
+            if self._fresh_link:
+                # a chain link's first packet decodes to 0 samples against
+                # the freshly reset window, so it must count as the link's
+                # primer, not its nominal length (the reference decodes-
+                # and-discards it inside the re-init, inside_ogg.rs:
+                # 149-155); this also prevents an OLD-link last_pck from
+                # re-priming the new link's window below
+                self._fresh_link = False
+                first_primes = True
             sample_cnt = get_decoded_sample_count(
                 self.ident_hdr, self.setup_hdr, next_pck.data
             )
@@ -464,6 +472,8 @@ class OggStreamReader:
                  "started": self._decode_started}
         if self.backend == "native" and self._native_dec is not None:
             state["native"] = self._native_dec.save_state()
+        elif self.backend == "jax" and self._jax_dec is not None:
+            state["jax"] = self._jax_dec.save_state()
         else:
             state["pwr"] = (
                 None if self.pwr.data is None else self.pwr.data.copy()
@@ -479,10 +489,25 @@ class OggStreamReader:
 
                 self._native_dec = native.NativeDecoder(*self._raw_headers)
             self._native_dec.load_state(state["native"])
+        elif "jax" in state:
+            if self._jax_dec is None:
+                from .models.decoder import StreamDecoder
+
+                self._jax_dec = StreamDecoder(
+                    self.ident_hdr, self.setup_hdr, chunk=1,
+                    raw_headers=self._raw_headers,
+                )
+            self._jax_dec.load_state(state["jax"])
         else:
             self.pwr = PreviousWindowRight(
                 None if state.get("pwr") is None else state["pwr"].copy()
             )
+            # a state saved BEFORE any decode carries no backend snapshot:
+            # reset any live decoder back to the fresh-window state
+            if self._jax_dec is not None:
+                self._jax_dec.reset()
+            if self._native_dec is not None and self.backend == "native":
+                self._native_dec.reset()
 
     def seek_absgp_pg(self, absgp: int) -> None:
         """Page-granularity seek; resets decode state

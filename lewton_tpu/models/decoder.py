@@ -794,6 +794,14 @@ class StreamDecoder:
     def reset(self) -> None:
         self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
 
+    def save_state(self):
+        """Checkpoint the window carry as host numpy (SURVEY §5
+        checkpoint/resume; the carry is the whole inter-packet state)."""
+        return jax.tree.map(np.asarray, self.carry)
+
+    def load_state(self, state) -> None:
+        self.carry = jax.tree.map(jnp.asarray, state)
+
     def entropy_chunk(self, packets: list[bytes]) -> dict:
         """Host half for one chunk: packets -> dense frames (numpy dict).
 

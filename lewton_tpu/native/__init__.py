@@ -532,7 +532,8 @@ class NativeDecoder:
 
 class NativePacket:
     __slots__ = ("data", "stream_serial", "first_in_stream", "last_in_stream",
-                 "absgp_page", "first_in_page", "last_in_page", "page_granule")
+                 "absgp_page", "first_in_page", "last_in_page",
+                 "page_granule", "spans_pages")
 
     def __init__(self, data, serial, flags, absgp, pgran):
         self.data = data
@@ -543,6 +544,7 @@ class NativePacket:
         self.last_in_page = bool(flags & 8)
         self.absgp_page = int(absgp) if flags & 16 else None
         self.page_granule = int(pgran) if flags & 32 else None
+        self.spans_pages = bool(flags & 64)
 
 
 class NativePacketReader:
@@ -596,6 +598,13 @@ class NativePacketReader:
         # walk back to the first packet of that page
         while target > 0 and not self._pcks[target - 1].last_in_page:
             target -= 1
+        # the FIRST packet at the seek position is not deliverable if it
+        # BEGAN on an earlier page (a streaming reader positioned at this
+        # page cannot reassemble it and drops the continued head; ogg
+        # crate semantics). Later spanning packets begin at/after the
+        # position and reassemble fine — skip exactly one.
+        if target < len(self._pcks) and self._pcks[target].spans_pages:
+            target += 1
         self._i = target
 
 

@@ -54,6 +54,10 @@ struct OggPacket {
   uint32_t serial;
   bool first_in_stream, last_in_stream, first_in_page, last_in_page;
   bool has_absgp, has_page_granule;
+  //: the packet's data BEGAN on an earlier page than where it completed
+  //: (page-granular seek must not deliver it: a streaming reader
+  //: positioned at the completion page cannot reassemble it)
+  bool spans_pages = false;
   uint64_t absgp, page_granule;
 };
 
@@ -65,6 +69,10 @@ struct OggReader {
   void demux() {
     std::map<uint32_t, std::vector<uint8_t>> partial;
     std::map<uint32_t, bool> started_on_bos;
+    // per-serial last page sequence number: a gap (lost/corrupt page
+    // skipped by CRC resync) means any pending continued data lost its
+    // tail and must be dropped, never spliced onto the next page's data
+    std::map<uint32_t, uint32_t> last_seq;
     size_t off = 0;
     while (off + 27 <= len) {
       // resync: scan for capture pattern
@@ -81,6 +89,7 @@ struct OggReader {
       uint8_t header_type = h[5];
       uint64_t granule = le64(h + 6);
       uint32_t serial = le32(h + 14);
+      uint32_t seq = le32(h + 18);
       uint32_t crc = le32(h + 22);
       uint8_t nsegs = h[26];
       if (start + 27 + nsegs > len) break;
@@ -103,7 +112,6 @@ struct OggReader {
 
       // lacing -> segments
       std::vector<std::pair<const uint8_t*, size_t>> segs;  // (ptr, len)
-      std::vector<std::vector<uint8_t>> joined;  // owned continued data
       size_t pos = 0, seg_start = 0;
       for (uint8_t i = 0; i < nsegs; ++i) {
         pos += lacing[i];
@@ -117,9 +125,16 @@ struct OggReader {
 
       bool is_bos = header_type & BOS, is_eos = header_type & EOS;
       bool continued = header_type & CONTINUED;
+      auto lsq = last_seq.find(serial);
+      if (lsq != last_seq.end() && seq != lsq->second + 1) {
+        partial.erase(serial);  // sequence hole: head lost its tail
+        started_on_bos.erase(serial);
+      }
+      last_seq[serial] = seq;
       struct Pending {
         std::vector<uint8_t> data;
         bool first;
+        bool spans = false;
       };
       std::vector<Pending> here;
       size_t nseg_pkts = segs.size();
@@ -127,18 +142,19 @@ struct OggReader {
         bool last_unterminated = unterminated && i == nseg_pkts - 1;
         std::vector<uint8_t> pkt;
         bool first;
+        bool spans = false;
         if (i == 0 && continued) {
           auto it = partial.find(serial);
           if (it == partial.end()) {
-            // continuation without pending data (post-seek): drop
-            if (last_unterminated) {
-              partial[serial].assign(segs[i].first, segs[i].first + segs[i].second);
-              started_on_bos[serial] = false;
-            }
+            // continuation of a packet whose head was never seen
+            // (sequence hole): drop the tail — never seed it as a packet
+            // head (a later page would splice onto it and deliver a
+            // garbage packet)
             continue;
           }
           pkt = std::move(it->second);
           partial.erase(it);
+          spans = true;
           pkt.insert(pkt.end(), segs[i].first, segs[i].first + segs[i].second);
           auto sb = started_on_bos.find(serial);
           first = sb != started_on_bos.end() && sb->second;
@@ -151,7 +167,7 @@ struct OggReader {
           partial[serial] = std::move(pkt);
           started_on_bos[serial] = first;
         } else {
-          here.push_back({std::move(pkt), first});
+          here.push_back({std::move(pkt), first, spans});
         }
       }
       size_t m = here.size();
@@ -166,6 +182,7 @@ struct OggReader {
         p.absgp = p.has_absgp ? granule : 0;
         p.first_in_page = i == 0;
         p.last_in_page = ends_page;
+        p.spans_pages = here[i].spans;
         p.has_page_granule = granule != NO_GRANULE;
         p.page_granule = p.has_page_granule ? granule : 0;
         packets.push_back(std::move(p));
@@ -196,7 +213,7 @@ int64_t lt_ogg_packet_count(const lt::OggReader* r) {
 }
 
 // flags: bit0 first_in_stream, 1 last_in_stream, 2 first_in_page,
-// 3 last_in_page, 4 has_absgp, 5 has_page_granule
+// 3 last_in_page, 4 has_absgp, 5 has_page_granule, 6 spans_pages
 void lt_ogg_packet_meta(const lt::OggReader* r, uint64_t* lens,
                         uint32_t* serials, uint8_t* flags, uint64_t* absgp,
                         uint64_t* page_granule) {
@@ -206,7 +223,8 @@ void lt_ogg_packet_meta(const lt::OggReader* r, uint64_t* lens,
     serials[i] = p.serial;
     flags[i] = (uint8_t)(p.first_in_stream | (p.last_in_stream << 1) |
                          (p.first_in_page << 2) | (p.last_in_page << 3) |
-                         (p.has_absgp << 4) | (p.has_page_granule << 5));
+                         (p.has_absgp << 4) | (p.has_page_granule << 5) |
+                         (p.spans_pages << 6));
     absgp[i] = p.absgp;
     page_granule[i] = p.page_granule;
   }

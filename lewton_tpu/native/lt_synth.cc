@@ -496,7 +496,8 @@ void lt_decoder_load_state(Decoder* d, const float* pwr, int plen,
 // audio blocks, and one sequential pass laps them together.
 void lt_decoder_decode_many(Decoder* d, const uint8_t* buf,
                             const uint64_t* offs, const uint64_t* lens,
-                            int n, float* pcm_out, int32_t* out_lens) {
+                            int n, float* pcm_out,
+                            int32_t* out_lens) try {
   const size_t stride =
       (size_t)d->st.channels * (3 * (size_t)d->st.n1 / 4);
   unsigned hw = std::thread::hardware_concurrency();
@@ -551,6 +552,10 @@ void lt_decoder_decode_many(Decoder* d, const uint8_t* buf,
         d, audio.data() + (size_t)i * C * n1, geo[i].bf, geo[i].pf,
         geo[i].nf, pcm_out + (size_t)i * stride);
   }
+} catch (const std::exception&) {
+  // exceptions (bad_alloc on the staging buffer, thread spawn failure)
+  // must never cross the C ABI into ctypes — mark every packet bad
+  for (int i = 0; i < n; ++i) out_lens[i] = -1;
 }
 
 }  // extern "C"

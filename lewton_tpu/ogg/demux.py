@@ -96,6 +96,11 @@ class PacketReader:
         # per-serial reassembly state
         self._partial: dict[int, bytearray] = {}
         self._started_on_bos: dict[int, bool] = {}
+        #: per-serial last page sequence number: a gap (lost/corrupt page
+        #: skipped by CRC resync, or a seek) means any pending continued
+        #: data lost its tail and must be dropped, never spliced onto the
+        #: next page's data (the external `ogg` crate does the same)
+        self._last_seq: dict[int, int] = {}
         self._queue: list[Packet] = []
 
     # ------------------------------------------------------------------ #
@@ -196,6 +201,12 @@ class PacketReader:
         serial = page.serial
         is_bos = bool(page.header_type & BOS)
         is_eos = bool(page.header_type & EOS)
+        last = self._last_seq.get(serial)
+        self._last_seq[serial] = page.seq
+        if last is not None and page.seq != (last + 1) & 0xFFFFFFFF:
+            # sequence hole: the pending packet head lost its tail
+            self._partial.pop(serial, None)
+            self._started_on_bos.pop(serial, None)
         unterminated = getattr(page, "_unterminated", False)
         segs = page.segments
         n = len(segs)
@@ -206,10 +217,12 @@ class PacketReader:
             if i == 0 and page.continued:
                 pending = self._partial.pop(serial, None)
                 if pending is None:
-                    # continuation without pending data (post-seek): drop
-                    if last_unterminated:
-                        self._partial[serial] = bytearray(seg)
-                        self._started_on_bos[serial] = False
+                    # continuation of a packet whose head was never seen
+                    # (post-seek or sequence hole): drop the tail — never
+                    # seed it as a packet head (a later page would splice
+                    # onto it and deliver a garbage packet). If it spans
+                    # this page too, the next page's continued flag drops
+                    # the rest the same way.
                     continue
                 data = bytes(pending) + seg
                 first = self._started_on_bos.pop(serial, False)
@@ -266,6 +279,7 @@ class PacketReader:
         self._queue.clear()
         self._partial.clear()
         self._started_on_bos.clear()
+        self._last_seq.clear()
 
     # ------------------------------------------------------------------ #
 

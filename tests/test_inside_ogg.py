@@ -95,7 +95,7 @@ def test_save_restore_decode_state(corpus_dir):
     """Checkpoint/resume: decoding from a restored state reproduces the
     PCM exactly (both backends)."""
     path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
-    for backend in ("numpy", "native"):
+    for backend in ("numpy", "native", "jax"):
         r = OggStreamReader(path, backend=backend)
         for _ in range(10):
             r.read_dec_packet()
@@ -142,3 +142,68 @@ def test_skip_samples_linear_jax_backend(corpus_dir):
     want = golden[start : start + pck.shape[1]].T
     d = np.abs(pck.astype(np.int32) - want.astype(np.int32))
     assert d.max() <= 2
+
+
+def test_chained_short_second_link_all_backends():
+    """Chained file whose SECOND link is short enough that its audio sits
+    on one page (no last_in_page granule correction before EOS): the
+    batching read_all loops used to flush link 1's buffered packets AFTER
+    the chain re-init had already restarted the granule clock, silently
+    over-truncating link 2 (measured 176 samples lost). All backends must
+    equal the per-packet numpy loop."""
+    import numpy as np
+
+    from lewton_tpu import native
+    from lewton_tpu.inside_ogg import OggStreamReader
+    from tools import vorbisref as vr
+
+    rng = np.random.default_rng(11)
+    rate = 44100
+    pcm1 = (rng.standard_normal((2, int(rate * 0.4))) * 0.3).astype(np.float32)
+    pcm2 = (rng.standard_normal((2, int(rate * 0.15))) * 0.3).astype(np.float32)
+    data = (vr.encode(pcm1, rate, quality=0.3, serial=101)
+            + vr.encode(pcm2, rate, quality=0.3, serial=202))
+
+    want = OggStreamReader(data, backend="numpy").read_all_planar_f32()
+    backends = ["jax"] + (["native"] if native.available() else [])
+    for backend in backends:
+        got = OggStreamReader(data, backend=backend).read_all_planar_f32()
+        assert got.shape == want.shape, backend
+        np.testing.assert_allclose(got, want, atol=2e-4, err_msg=backend)
+
+
+def test_skip_across_chain_boundary():
+    """skip_samples_linear landing past a chain boundary: the new link's
+    first packet decodes to 0 samples (fresh window) and must count as 0
+    in the skip arithmetic — its nominal length used to be counted,
+    drifting the landing position by up to half a window."""
+    import numpy as np
+
+    from lewton_tpu.inside_ogg import OggStreamReader
+    from tools import vorbisref as vr
+
+    rng = np.random.default_rng(5)
+    rate = 44100
+    pcm1 = (rng.standard_normal((2, int(rate * 0.25))) * 0.3).astype(np.float32)
+    pcm2 = (rng.standard_normal((2, int(rate * 0.3))) * 0.3).astype(np.float32)
+    data = (vr.encode(pcm1, rate, quality=0.3, serial=31)
+            + vr.encode(pcm2, rate, quality=0.3, serial=32))
+
+    # ground truth: full per-packet decode, stitched
+    full = OggStreamReader(data, backend="numpy").read_all_planar_f32()
+    link1 = OggStreamReader(
+        vr.encode(pcm1, rate, quality=0.3, serial=31),
+        backend="numpy").read_all_planar_f32()
+    target = link1.shape[1] + 3000  # lands inside link 2
+
+    r = OggStreamReader(data, backend="numpy")
+    decoded, leftover = r.skip_samples_linear(target)
+    assert decoded is not None
+    # the target packet starts (target - leftover) samples into the stream
+    got = np.asarray(decoded)[:, :]  # planar i16 [C, n]
+    start = target - leftover
+    want = (np.clip(full[:, start : start + got.shape[1]] * 32768.0,
+                    -32768, 32767)).astype(np.int16)
+    assert got.shape == want.shape
+    # same window content => same samples (i16 conversion is exact)
+    np.testing.assert_array_equal(got, want)
