@@ -139,7 +139,15 @@ class BitCursor:
 
         Fast path peeks 8 bits through the unrolled LUT; long codes fall back
         to bit-by-bit descent (ref behavior: lewton src/bitpacking.rs:455-487).
+
+        A codebook with NO used entries decodes like end-of-packet
+        (libvorbis-oracle semantics: vorbis_book_decode returns -1, so the
+        residue keeps its partial zeros and a floor channel goes unused;
+        the native backend's Huffman::decode also returns false here) —
+        never a HeaderError escaping from an audio path.
         """
+        if tree.empty:
+            raise EndOfPacket()
         peeked, got = self.peek_bits(8)
         if got == 8:
             payload, advance = tree.lut[peeked]

@@ -158,8 +158,11 @@ def read_header_comment(packet: bytes) -> CommentHeader:
             raise BadHeader("truncated comment string")
         s = bytes(buf[pos : pos + n])
         pos += n
-        # Tolerate non-UTF-8 (deliberate spec deviation shared with the
-        # reference, lewton src/header.rs:328-346): lossy decode.
+        # Tolerate non-UTF-8 with a LOSSY decode (U+FFFD replacement).
+        # Deliberately MORE tolerant than the reference, which skips a
+        # non-UTF-8 comment entry and errors on a non-UTF-8 vendor
+        # (lewton src/header.rs:328-346); libvorbis never validates UTF-8
+        # at all. Metadata should never make a decodable stream fail.
         return s.decode("utf-8", errors="replace")
 
     vendor = read_str(read_u32())
@@ -216,6 +219,13 @@ def read_codebook(cur: BitCursor) -> Codebook:
     dimensions = cur.read_bits(16)
     entries = cur.read_bits(24)
     ordered = cur.read_bit_flag()
+    # Bound the length-list allocation by what the packet can back: each
+    # entry costs >= 1 bit (sparse flag) / 5 bits (non-sparse), so a
+    # ~40-byte crafted packet declaring entries=2^24-1 must not allocate
+    # a 16.7M-element list before the reads hit EndOfPacket. (Same
+    # principle as the VQ-expansion guard below.)
+    if not ordered and entries > cur.bits_remaining():
+        raise BadHeader("truncated codebook")
     lengths = [0] * entries
     if not ordered:
         sparse = cur.read_bit_flag()
@@ -238,16 +248,20 @@ def read_codebook(cur: BitCursor) -> Codebook:
             current_length += 1
             if current_length > 32 and current_entry < entries:
                 raise BadHeader("ordered codebook length > 32")
-    try:
-        tree = HuffmanTree(lengths)
-    except HeaderError:
-        raise
+    tree = HuffmanTree(lengths)
 
     lookup_type = cur.read_bits(4)
     vq = None
     if lookup_type == 0:
         pass
     elif lookup_type in (1, 2):
+        if dimensions == 0:
+            # A VQ book must map entries to >= 1 scalar: libvorbis (the
+            # conformance oracle) rejects dim < 1 at unpack, and a dim-0
+            # book reaching residue/floor0 decode divides by zero /
+            # indexes vec[-1] (native: heap OOB). Scalar (lookup 0)
+            # dim-0 books stay accepted; their dims field is unused.
+            raise BadHeader("VQ codebook with zero dimensions")
         minimum_value = np.float32(cur.read_f32())
         delta_value = np.float32(cur.read_f32())
         value_bits = cur.read_bits(4) + 1

@@ -91,13 +91,18 @@ class HuffmanTree:
       root: node id of the root (for bit-by-bit descent near packet end).
     """
 
-    __slots__ = ("codes", "lut", "root", "_children", "_payload", "num_entries")
+    __slots__ = ("codes", "lut", "root", "_children", "_payload",
+                 "num_entries", "empty")
 
     LEAF_BIT = 1 << 30
 
     def __init__(self, lengths: list[int]):
         self.codes = assign_codewords(lengths)
         self.num_entries = len(lengths)
+        #: no used entries at all (entries == 0 or every length 0): legal
+        #: in headers, but DECODING from it fails like end-of-packet (see
+        #: bitpack.read_huffman; libvorbis-oracle + native-backend parity)
+        self.empty = not any(c is not None for c in self.codes)
         # Explicit binary tree: _children[node] = [left_id, right_id], where an
         # id with LEAF_BIT set encodes payload directly; 0 = absent child.
         self._children: list[list[int]] = [[0, 0]]
@@ -144,9 +149,8 @@ class HuffmanTree:
                 pat |= ((code >> (l - 1 - i)) & 1) << i
             step = 1 << l
             for idx in range(pat, 256, step):
-                # all indices whose low l bits equal pat
-                if (idx & (step - 1)) == pat:
-                    lut[idx] = (entry, l)
+                # every index whose low l bits equal pat (pat < step)
+                lut[idx] = (entry, l)
         if len(single) != 1:
             # Fill remaining slots with the depth-8 inner node reached by
             # that prefix (for codes longer than 8 bits).

@@ -79,6 +79,10 @@ static std::string read_codebook(BitCursor* cur, Codebook* cb) {
   cb->entries = entries;
   bool ordered;
   if (!cur->read_flag(&ordered)) return "truncated codebook";
+  // each entry costs >= 1 bit below; don't let a tiny crafted packet
+  // allocate a 2^24-element list first (mirrors header.py)
+  if (!ordered && entries > cur->bits_remaining())
+    return "truncated codebook";
   std::vector<uint8_t> lengths(entries, 0);
   if (!ordered) {
     bool sparse;
@@ -124,7 +128,11 @@ static std::string read_codebook(BitCursor* cur, Codebook* cb) {
       !cur->read(4, &value_bits) || !cur->read_flag(&sequence_p))
     return "truncated codebook";
   ++value_bits;
-  if (lookup_type == 1 && dims == 0) return "zero-dimension codebook lookup";
+  // A VQ book (lookup 1/2) must map entries to >= 1 scalar: libvorbis
+  // rejects dim < 1 at unpack, and a dim-0 book reaching residue/floor0
+  // decode divides by zero / reads vec[-1] (heap OOB). Scalar dim-0
+  // books (lookup 0) stay accepted.
+  if (dims == 0) return "VQ codebook with zero dimensions";
   uint64_t lookup_values = lookup_type == 1
                                ? lookup1_values(entries, dims)
                                : (uint64_t)entries * dims;

@@ -221,3 +221,99 @@ def test_random_packets_never_crash(corpus_dir):
             np.testing.assert_array_equal(
                 fr_py["residue"][j], fr_nat["residue"][i], err_msg=f"pkt {i}")
             j += 1
+
+
+def _tiny_ident():
+    from lewton_tpu.utils.bitwriter import BitWriter
+
+    w = BitWriter().write_bytes(b"\x01vorbis")
+    w.write_bits(0, 32)
+    w.write_bits(1, 8)
+    w.write_bits(44100, 32)
+    for _ in range(3):
+        w.write_bits(0, 32)
+    w.write_bits(7, 4)
+    w.write_bits(8, 4)
+    w.write_bits(1, 1)
+    return w.getvalue()
+
+
+def test_dim0_vq_codebook_rejected():
+    """A lookup-type-2 codebook with dimensions == 0 must be rejected at
+    header parse (libvorbis rejects dim < 1): it used to produce a
+    zero-width VQ table that passed the residue/floor0 book checks and
+    then divided by zero (python) or read vec[-1] before the table
+    (native heap OOB) at decode time."""
+    from lewton_tpu.errors import BadHeader
+    from lewton_tpu.header import read_header_ident, read_header_setup
+    from lewton_tpu.utils.bitwriter import BitWriter
+
+    ident = _tiny_ident()
+    w = BitWriter().write_bytes(b"\x05vorbis")
+    w.write_bits(0, 8)  # one codebook
+    w.write_bits(0x564342, 24)
+    w.write_bits(0, 16)  # dims = 0
+    w.write_bits(2, 24)  # entries = 2
+    w.write_flag(False)  # not ordered
+    w.write_flag(False)  # not sparse
+    w.write_bits(0, 5)  # length 1
+    w.write_bits(0, 5)  # length 1
+    w.write_bits(2, 4)  # lookup type 2
+    w.write_bits(0, 32)  # minimum
+    w.write_bits(0, 32)  # delta
+    w.write_bits(0, 4)  # value_bits = 1
+    w.write_flag(False)  # sequence_p
+    # lookup_values = entries * dims = 0 -> no mults follow
+    setup = w.getvalue()
+
+    ih = read_header_ident(ident)
+    with pytest.raises(BadHeader):
+        read_header_setup(setup, ih)
+    from lewton_tpu import native
+
+    if native.available():
+        with pytest.raises(BadHeader):
+            native.NativeStream(ident, setup)
+
+
+def test_huge_entries_no_backing_rejected_quickly():
+    """entries = 2^24-1 in a ~40-byte non-ordered codebook must fail as a
+    truncated header WITHOUT first allocating a 16.7M-element length
+    list (memory-amplification guard, both front-ends)."""
+    from lewton_tpu.errors import BadHeader
+    from lewton_tpu.header import read_header_ident, read_header_setup
+    from lewton_tpu.utils.bitwriter import BitWriter
+
+    ident = _tiny_ident()
+    w = BitWriter().write_bytes(b"\x05vorbis")
+    w.write_bits(0, 8)
+    w.write_bits(0x564342, 24)
+    w.write_bits(2, 16)  # dims
+    w.write_bits((1 << 24) - 1, 24)  # entries
+    w.write_flag(False)  # not ordered -> every entry needs >= 1 bit
+    setup = w.getvalue()
+
+    ih = read_header_ident(ident)
+    with pytest.raises(BadHeader):
+        read_header_setup(setup, ih)
+    from lewton_tpu import native
+
+    if native.available():
+        with pytest.raises(BadHeader):
+            native.NativeStream(ident, setup)
+
+
+def test_empty_codebook_decodes_as_eop():
+    """Decoding from a codebook with no used entries behaves like
+    end-of-packet (libvorbis: vorbis_book_decode returns -1 -> residue
+    keeps partial zeros), matching the native backend — it used to raise
+    HuffmanError (a HeaderError!) out of the audio path."""
+    from lewton_tpu.bitpack import BitCursor
+    from lewton_tpu.errors import EndOfPacket
+    from lewton_tpu.huffman import HuffmanTree
+
+    for lengths in ([], [0, 0, 0]):
+        t = HuffmanTree(lengths)
+        assert t.empty
+        with pytest.raises(EndOfPacket):
+            BitCursor(b"\xff\xff\xff").read_huffman(t)
