@@ -43,6 +43,10 @@ __all__ = ["overlap_i16_pallas", "pallas_overlap_supported",
 MAX_ROWS = 128  # packets per grid step (s16 sublane tile is 16;
 #   bigger blocks amortize per-step overhead — measured 16->128: +15%)
 
+PRE_REV = True  # x_rep path: feed XLA-computed flip(X) as an extra
+#   operand instead of reversing lanes in-kernel (A/B knob; see
+#   _kernel_x docstring and PERF.md r3)
+
 
 def pallas_overlap_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
     """Lane-alignment + VMEM envelope for the kernel (else the XLA path)."""
@@ -218,7 +222,8 @@ def _combine_split(p, L: int):
     return jnp.where((j & 1) == 1, nxt - p, p + prv)
 
 
-def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False):
+def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
+              pre_rev=False):
     """X-representation variant of :func:`_kernel`: inputs are the
     half-width DCT-IV outputs (see ops/imdct.dct4_batch_parts_ct), and
     every window region is reconstructed in VMEM from
@@ -232,7 +237,12 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False):
     With ``split_in``, the long input arrives as the Wang-split halves
     U, V (two refs, [.., n1/4] each — the GEMMs that produce them do half
     the MXU work) and the kernel rebuilds X in VMEM via
-    :func:`_shuffle_zip` + :func:`_combine_split`."""
+    :func:`_shuffle_zip` + :func:`_combine_split`.
+
+    With ``pre_rev``, the lane-reversed X arrays arrive as extra inputs
+    (XLA computes ``flip(X, -1)`` once outside — one HBM pass) and the
+    in-kernel :func:`_rev_lanes` roll networks are skipped entirely
+    (measured 2.6 ms/chunk of VPU shuffle work at S=256/T=128/n1=2048)."""
     it = iter(refs)
     if split_in:
         xu_ref = next(it)
@@ -242,8 +252,14 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False):
     else:
         xa_ref = next(it)
         xb_ref = next(it) if has_prev_view else xa_ref
+        if pre_rev:
+            xar_ref = next(it)
+            xbr_ref = next(it) if has_prev_view else xar_ref
     sa_ref = next(it) if has_short else None
     sb_ref = (next(it) if has_prev_view else sa_ref) if has_short else None
+    if pre_rev and has_short:
+        sar_ref = next(it)
+        sbr_ref = next(it) if has_prev_view else sar_ref
     sc_ref, sl_ref, pwr0_ref, out_ref, pwr_out_ref = it
     W = n1 // 2   # == M, the long DCT-IV length
     outw = 3 * n1 // 4
@@ -286,19 +302,28 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False):
     else:
         xc = xa_ref[0]                    # [R, M] current long X
         xp_last = xb_ref[0, R - 1 : R, :]
-    xcr = _rev_lanes(xc, M)
+    if pre_rev and not split_in:
+        xcr = xar_ref[0]
+        xp_last_rev = xbr_ref[0, R - 1 : R, :]
+    else:
+        xcr = _rev_lanes(xc, M)
+        xp_last_rev = _rev_lanes(xp_last, M)
     # previous packet's X rows: last row of the block-shifted view for
     # row 0, in-block neighbor otherwise (same structure as _kernel);
     # the reversed form reuses xcr and reverses only the one extra row
     xp = jnp.concatenate([xp_last, xc[: R - 1]], axis=0)
-    xpr = jnp.concatenate([_rev_lanes(xp_last, M), xcr[: R - 1]], axis=0)
+    xpr = jnp.concatenate([xp_last_rev, xcr[: R - 1]], axis=0)
     if has_short:
         xs = sa_ref[0]                    # [R, m] current short X
-        xsr = _rev_lanes(xs, m)
         xsp_last = sb_ref[0, R - 1 : R, :]
+        if pre_rev:
+            xsr = sar_ref[0]
+            xsp_last_rev = sbr_ref[0, R - 1 : R, :]
+        else:
+            xsr = _rev_lanes(xs, m)
+            xsp_last_rev = _rev_lanes(xsp_last, m)
         xsp = jnp.concatenate([xsp_last, xs[: R - 1]], axis=0)
-        xspr = jnp.concatenate(
-            [_rev_lanes(xsp_last, m), xsr[: R - 1]], axis=0)
+        xspr = jnp.concatenate([xsp_last_rev, xsr[: R - 1]], axis=0)
 
     # ---- current row: a_cur = audio[ls or 0 : +outw] ----
     audio0 = jnp.concatenate([xc[:, M // 2 :], -xcr], axis=1)   # [R, outw]
@@ -416,14 +441,28 @@ def overlap_i16_pallas(
     outw = 3 * n1 // 4
     R = min(MAX_ROWS, -(-T // 16) * 16)  # adaptive: small chunks pad to 16s
     pad = (-T) % R
+    # hoist the lane reversal out of the kernel: XLA computes flip(X)
+    # once (a single HBM pass over [C, T, W]) and the kernel reads it as
+    # an extra operand — cheaper than the in-kernel roll/select network
+    # (10 XOR-exchange stages at W=1024, measured 2.6 ms/chunk)
+    pre_rev = bool(PRE_REV and x_rep and not x_split)
+    long_rev = short_rev = None
+    if pre_rev:
+        long_rev = jnp.flip(long_audio, axis=-1)
+        if short_audio is not None:
+            short_rev = jnp.flip(short_audio, axis=-1)
     if pad:
         if x_split:
             lu = jnp.pad(lu, [(0, 0), (0, pad), (0, 0)])
             lv = jnp.pad(lv, [(0, 0), (0, pad), (0, 0)])
         else:
             long_audio = jnp.pad(long_audio, [(0, 0), (0, pad), (0, 0)])
+        if long_rev is not None:
+            long_rev = jnp.pad(long_rev, [(0, 0), (0, pad), (0, 0)])
         if short_audio is not None:
             short_audio = jnp.pad(short_audio, [(0, 0), (0, pad), (0, 0)])
+        if short_rev is not None:
+            short_rev = jnp.pad(short_rev, [(0, 0), (0, pad), (0, 0)])
         scal = jnp.pad(scal, [(0, pad), (0, 0)])  # out_len 0 => zero rows
     Tp = T + pad
     has_short = short_audio is not None
@@ -431,7 +470,8 @@ def overlap_i16_pallas(
     kern = functools.partial(_kernel_x if x_rep else _kernel, n0=n0, n1=n1,
                              R=R, has_short=has_short,
                              has_prev_view=has_prev_view,
-                             **({"split_in": True} if x_split else {}))
+                             **({"split_in": True} if x_split else {}),
+                             **({"pre_rev": True} if pre_rev else {}))
     w1, w0 = (n1 // 2, n0 // 2) if x_rep else (n1, n0)
     spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
@@ -450,12 +490,24 @@ def overlap_i16_pallas(
         if has_prev_view:
             in_specs += [spec_prev(w1)]
             args += [long_audio]
+        if pre_rev:
+            in_specs += [spec_cur(w1)]
+            args += [long_rev]
+            if has_prev_view:
+                in_specs += [spec_prev(w1)]
+                args += [long_rev]
     if has_short:
         in_specs += [spec_cur(w0)]
         args += [short_audio]
         if has_prev_view:
             in_specs += [spec_prev(w0)]
             args += [short_audio]
+        if pre_rev:
+            in_specs += [spec_cur(w0)]
+            args += [short_rev]
+            if has_prev_view:
+                in_specs += [spec_prev(w0)]
+                args += [short_rev]
     in_specs += [
         pl.BlockSpec((R, scal.shape[1]), lambda c, i: (i, 0),
                      memory_space=pltpu.VMEM),
