@@ -48,11 +48,33 @@ PRE_REV = True  # x_rep path: feed XLA-computed flip(X) as an extra
 #   _kernel_x docstring and PERF.md r3)
 
 
+VMEM_OPERAND_BUDGET = 6 * 1024 * 1024  # bytes of resident operand blocks
+#   per grid step; leaves ~2x headroom in ~16 MiB VMEM for the kernel's
+#   concat/select temporaries (measured safe at the production shape)
+
+
+def _max_block_rows(n0: int, n1: int) -> int:
+    """Largest packet-row block R (multiple of 16, <= MAX_ROWS) whose
+    resident VMEM operand blocks fit VMEM_OPERAND_BUDGET.
+
+    Counts the worst case across kernel variants — they are byte-identical:
+    the audio form holds 2 long [1,R,n1] + 2 short [1,R,n0] f32 blocks
+    (cur + prev view), the x_rep + PRE_REV form holds 4 long + 4 short
+    half-width blocks (cur/prev x plain/reversed — the pre_rev doubling
+    exactly cancels the x_rep halving) — plus the [R, C*outw_c] i16 out
+    block (outw per channel; the lane axis is blocked per channel so one
+    channel's outw is resident) and the small scal/slope/pwr blocks."""
+    outw = 3 * n1 // 4
+    per_row = 8 * (n1 + n0) + 2 * outw + 64
+    r = min(MAX_ROWS, (VMEM_OPERAND_BUDGET // per_row) // 16 * 16)
+    return max(r, 0)
+
+
 def pallas_overlap_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
     """Lane-alignment + VMEM envelope for the kernel (else the XLA path)."""
     outw = 3 * n1 // 4
     return (n1 >= 512 and n1 % 256 == 0 and outw % 128 == 0 and T >= 1
-            and C <= 16)
+            and C <= 16 and _max_block_rows(n0, n1) >= 16)
 
 
 def pallas_x_rep_supported(n0: int, n1: int, T: int, C: int = 2) -> bool:
@@ -243,6 +265,9 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
     (XLA computes ``flip(X, -1)`` once outside — one HBM pass) and the
     in-kernel :func:`_rev_lanes` roll networks are skipped entirely
     (measured 2.6 ms/chunk of VPU shuffle work at S=256/T=128/n1=2048)."""
+    # pre_rev's short-ref parse below would misread the ref list under
+    # split_in (overlap_i16_pallas forces pre_rev off when x_split)
+    assert not (pre_rev and split_in), "pre_rev is incompatible with split_in"
     it = iter(refs)
     if split_in:
         xu_ref = next(it)
@@ -439,7 +464,10 @@ def overlap_i16_pallas(
         if short_audio is not None:
             short_audio = jnp.transpose(short_audio, (1, 0, 2))
     outw = 3 * n1 // 4
-    R = min(MAX_ROWS, -(-T // 16) * 16)  # adaptive: small chunks pad to 16s
+    # adaptive block rows: small chunks pad to 16s, large blocksizes shrink
+    # R so the resident operand blocks stay inside the VMEM budget
+    R = min(_max_block_rows(n0, n1), -(-T // 16) * 16)
+    assert R >= 16, "caller must gate on pallas_overlap_supported"
     pad = (-T) % R
     # hoist the lane reversal out of the kernel: XLA computes flip(X)
     # once (a single HBM pass over [C, T, W]) and the kernel reads it as

@@ -30,10 +30,26 @@ __all__ = ["trace", "StageTimer"]
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
-    """Device + host trace (TensorBoard/xprof format)."""
+def trace(logdir: str, *, allow_tunnel: bool = False):
+    """Device + host trace (TensorBoard/xprof format).
+
+    Refuses to start against a tunneled/proxied device backend (the
+    ``axon`` platform): `jax.profiler.trace` hangs there, and killing the
+    process wedges the tunnel's chip claim for hours. Profile via stage
+    knockouts + wall clock instead (`tools/bisect_synth.py`,
+    :class:`StageTimer`). Pass ``allow_tunnel=True`` only if you are sure
+    the backend's profiler endpoint is functional.
+    """
     import jax
 
+    platform = jax.devices()[0].platform
+    if platform == "axon" and not allow_tunnel:
+        raise RuntimeError(
+            "profiling.trace refused: backend is the 'axon' TPU tunnel, "
+            "where jax.profiler.trace hangs and wedges the chip claim "
+            "(see CLAUDE.md). Use tools/bisect_synth.py stage knockouts "
+            "or StageTimer instead, or pass allow_tunnel=True to override."
+        )
     with jax.profiler.trace(logdir):
         yield
 

@@ -172,9 +172,15 @@ def test_pallas_kernel_x_rep_variant():
         return np.concatenate([x[..., h:], -x[..., ::-1], -x[..., :h]],
                               axis=-1)
 
-    for T in (16, 48):
+    # T=144 > MAX_ROWS exercises the multi-block pre_rev path (the extra
+    # block-shifted spec_prev operands for long_rev/short_rev and the
+    # kernel's xbr_ref/sbr_ref parse), which no production config below
+    # 129 packets reaches (ADVICE r3)
+    from lewton_tpu.ops.overlap_kernel import MAX_ROWS
+    assert 144 > MAX_ROWS
+    for T in (16, 48, 144):
         (_, bf, pf, nf, v), carry = _rand_case(rng, T)
-        if T == 48:
+        if T >= 48:
             bfm = np.ones(T, np.int32)
             bfm[::3] = 0
             bf = jnp.asarray(bfm)
