@@ -103,6 +103,8 @@ int main(int argc, char** argv) {
       f0_amp((size_t)T * C);
 
   int bad = 0;
+  timespec c0, c1;
+  clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &c0);
   auto t0 = std::chrono::steady_clock::now();
   for (int base = 0; base < N; base += T) {
     int n = N - base < T ? N - base : T;
@@ -113,10 +115,15 @@ int main(int argc, char** argv) {
     for (int t = 0; t < n; ++t) bad += status[t] != 0;
   }
   auto t1 = std::chrono::steady_clock::now();
+  clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &c1);
   double dt = std::chrono::duration<double>(t1 - t0).count();
+  // process CPU time: immune to noisy-neighbor steal (this vCPU's wall
+  // clock swings +-20% minute to minute; A/B on cpu-time instead)
+  double dc = (c1.tv_sec - c0.tv_sec) + (c1.tv_nsec - c0.tv_nsec) * 1e-9;
   printf("packets %d (x%d of %d), bad %d\n", N, repeat, n_audio, bad);
   printf("%.0f packets/s, %.1f MB/s bitstream, %.2f ms\n", N / dt,
          abytes / dt / 1e6, dt * 1e3);
+  printf("cpu: %.0f packets/s, %.2f ms\n", N / dc, dc * 1e3);
   lt_stream_free(st);
   return 0;
 }

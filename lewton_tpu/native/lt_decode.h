@@ -21,6 +21,25 @@ struct Stream {
   // outright (typical setups use 1-3 of the 8 cascade passes; pass 0
   // always runs — it carries the classwords).
   std::vector<uint8_t> pass_used;  // [residue]
+  // Flattened per-residue book descriptors, indexed [class * 8 + pass].
+  // One cache line replaces the Codebook -> Huffman -> lut/vq pointer
+  // chase at every partition transition (the hot loop visits a partition
+  // every ~2.5 symbols on real streams — the transitions, not the symbol
+  // chain, are where the cycles go; see PERF.md r4).
+  struct BookDesc {
+    const int32_t* lut = nullptr;  // non-null => exact-tile fast path
+    const float* vq = nullptr;
+    const void* huf = nullptr;  // const Huffman* (slow path / generic)
+    uint32_t lmask = 0;
+    uint32_t nsym = 0;  // psize / dim (exact tile; psize is up to 2^24)
+    uint16_t lbits = 0;
+    uint16_t dim = 0;
+    int16_t book = -1;  // >= 0 when a book exists for this (class, pass)
+  };
+  std::vector<std::vector<BookDesc>> res_descs;  // [residue][cls*8]
+  std::vector<uint8_t> res_fast;  // [residue] type-2 all-fast-books
+  std::vector<uint8_t> map_fast;  // [mapping] single submap + fast residue
+  bool ileave_any = false;        // some mapping qualifies (and C <= 2)
 };
 
 enum { LT_OK = 0, LT_IS_HEADER = 1, LT_BAD = 2 };

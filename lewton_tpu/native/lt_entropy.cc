@@ -7,6 +7,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -25,6 +26,26 @@ uint32_t ilog(uint64_t x) {
   }
   return r;
 }
+
+#ifdef LT_COUNT
+struct Counters {
+  uint64_t vq_syms[17] = {0};  // by dim (clamped 16)
+  uint64_t classwords = 0, floor_syms = 0, packets = 0, bits = 0;
+  ~Counters() {
+    fprintf(stderr, "packets %llu classwords %llu floor_syms %llu bits %llu\n",
+            (unsigned long long)packets, (unsigned long long)classwords,
+            (unsigned long long)floor_syms, (unsigned long long)bits);
+    for (int d = 0; d <= 16; ++d)
+      if (vq_syms[d])
+        fprintf(stderr, "  vq dim %d: %llu\n", d,
+                (unsigned long long)vq_syms[d]);
+  }
+};
+Counters g_counters;
+#define LT_CNT(x) g_counters.x
+#else
+#define LT_CNT(x) (void)0
+#endif
 
 constexpr int kFloor1Ranges[4] = {256, 128, 86, 64};
 
@@ -67,34 +88,88 @@ inline void vq_add(float* __restrict row, const float* __restrict vec,
 // guaranteed hits — measured no better than this form on the bench
 // corpus; the branch predictor already eats the per-symbol checks.)
 // Caller guarantees: !huff.single(), every accumulate target in range.
-template <uint32_t DIM, class Accum>
-static inline bool vq_core(BitCursor* cur, const Codebook& book,
-                           uint32_t nsym, Accum&& accum) {
-  const Huffman& h = book.huff;
-  const int32_t* __restrict lut = h.lut_data();
-  const uint32_t lbits = h.lut_bits();
-  const uint32_t lmask = (1u << lbits) - 1;
-  const float* __restrict vq = book.vq.data();
-  const uint8_t* __restrict data = cur->data();
-  const size_t len = cur->size();
+// Bit-cursor registers for section-resident hot loops: the residue
+// section keeps (acc, nbits, pos) in locals across ALL its partitions and
+// classwords — syncing through the BitCursor object per partition pinned
+// the fields to stack memory and measured ~2x on the partition loop.
+struct BitRegs {
   uint64_t acc;
   uint32_t nbits;
   size_t pos;
-  cur->sync_out(&acc, &nbits, &pos);
+};
+
+static inline void regs_refill(BitRegs& rg, const uint8_t* __restrict data,
+                               size_t len) {
+  if (len - rg.pos >= 8) {  // bulk refill (little-endian hosts)
+    uint64_t w;
+    memcpy(&w, data + rg.pos, 8);
+    rg.acc |= w << rg.nbits;
+    uint32_t bytes = (63 - rg.nbits) >> 3;
+    rg.pos += bytes;
+    rg.nbits += bytes << 3;
+  } else {
+    while (rg.nbits <= 56 && rg.pos < len) {
+      rg.acc |= (uint64_t)data[rg.pos++] << rg.nbits;
+      rg.nbits += 8;
+    }
+  }
+}
+
+// One huffman scalar on registers; lut == nullptr (single-entry books)
+// or a LUT miss falls back to the generic cursor path. Returns false on
+// EOP (terminal for the packet's residue section).
+static inline bool huff_decode_r(BitRegs& rg, const uint8_t* data,
+                                 size_t len, const int32_t* lut,
+                                 uint32_t lbits, uint32_t lmask,
+                                 const Huffman* huf, uint32_t* val) {
+  if (rg.nbits < lbits) regs_refill(rg, data, len);
+  if (lut) {
+    const int32_t e = lut[(uint32_t)rg.acc & lmask];
+    const uint32_t L = (uint32_t)e & 31u;
+    if (__builtin_expect(e >= 0 && L <= rg.nbits, 1)) {
+      rg.acc >>= L;
+      rg.nbits -= L;
+      *val = (uint32_t)e >> 5;
+      return true;
+    }
+  }
+  BitCursor cur(data, len);
+  cur.sync_in(rg.acc, rg.nbits, rg.pos);
+  bool ok = huf->decode(&cur, val);
+  cur.sync_out(&rg.acc, &rg.nbits, &rg.pos);
+  return ok;
+}
+
+template <uint32_t DIM, class Accum>
+static inline bool vq_core_r(BitRegs& rg, const uint8_t* __restrict data,
+                             size_t len, const int32_t* __restrict lut,
+                             uint32_t lbits, const float* __restrict vq,
+                             const Huffman* h, uint32_t nsym,
+                             Accum&& accum) {
+  const uint32_t lmask = (1u << lbits) - 1;
+  uint64_t acc = rg.acc;
+  uint32_t nbits = rg.nbits;
+  size_t pos = rg.pos;
   for (uint32_t k = 0; k < nsym; ++k) {
-    if (nbits < lbits) {
-      if (len - pos >= 8) {  // bulk refill (little-endian hosts)
-        uint64_t w;
-        memcpy(&w, data + pos, 8);
-        acc |= w << nbits;
-        uint32_t bytes = (63 - nbits) >> 3;
-        pos += bytes;
-        nbits += bytes << 3;
-      } else {
-        while (nbits <= 56 && pos < len) {
-          acc |= (uint64_t)data[pos++] << nbits;
-          nbits += 8;
-        }
+    // Refill EVERY symbol: the "do I need bits" test was the loop's only
+    // data-dependent branch (it fires quasi-periodically at a
+    // code-length-dependent rate the predictor can't learn); topping the
+    // accumulator up unconditionally replaces it with an
+    // almost-always-true bounds check (+3% A/B on cpu-time, PERF.md r4).
+    // nbits can be 64 right after a bulk cursor refill: skip (no room).
+    // Bytes of w above the advanced count OR over bits already present
+    // uncounted — same stream bytes, so the OR is idempotent.
+    if (__builtin_expect((len - pos >= 8) & (nbits < 64), 1)) {
+      uint64_t w;
+      memcpy(&w, data + pos, 8);
+      acc |= w << nbits;
+      uint32_t bytes = (63 - nbits) >> 3;
+      pos += bytes;
+      nbits |= 56;
+    } else if (nbits < lbits) {
+      while (nbits <= 56 && pos < len) {
+        acc |= (uint64_t)data[pos++] << nbits;
+        nbits += 8;
       }
     }
     const int32_t e = lut[(uint32_t)acc & lmask];
@@ -102,10 +177,16 @@ static inline bool vq_core(BitCursor* cur, const Codebook& book,
     if (__builtin_expect(e < 0 || L > nbits, 0)) {
       // long code, or out of bits (nbits < lbits only at EOP after the
       // refill above, so a miss here is EOP or a > lut_bits codeword)
-      cur->sync_in(acc, nbits, pos);
+      rg = {acc, nbits, pos};
       uint32_t val;
-      if (!h.decode(cur, &val)) return false;  // EOP: caller stops cleanly
-      cur->sync_out(&acc, &nbits, &pos);
+      BitCursor cur(data, len);
+      cur.sync_in(acc, nbits, pos);
+      bool ok = h->decode(&cur, &val);
+      cur.sync_out(&rg.acc, &rg.nbits, &rg.pos);
+      if (!ok) return false;  // EOP: caller stops cleanly
+      acc = rg.acc;
+      nbits = rg.nbits;
+      pos = rg.pos;
       accum(vq + (size_t)val * DIM, k);
       continue;
     }
@@ -113,8 +194,22 @@ static inline bool vq_core(BitCursor* cur, const Codebook& book,
     nbits -= L;
     accum(vq + (size_t)((uint32_t)e >> 5) * DIM, k);
   }
-  cur->sync_in(acc, nbits, pos);
+  rg = {acc, nbits, pos};
+  LT_CNT(vq_syms[DIM > 16 ? 16 : DIM] += nsym);
   return true;
+}
+
+template <uint32_t DIM, class Accum>
+static inline bool vq_core(BitCursor* cur, const Codebook& book,
+                           uint32_t nsym, Accum&& accum) {
+  const Huffman& h = book.huff;
+  BitRegs rg;
+  cur->sync_out(&rg.acc, &rg.nbits, &rg.pos);
+  bool ok = vq_core_r<DIM>(rg, cur->data(), cur->size(), h.lut_data(),
+                           h.lut_bits(), book.vq.data(), &h, nsym,
+                           static_cast<Accum&&>(accum));
+  cur->sync_in(rg.acc, rg.nbits, rg.pos);
+  return ok;
 }
 
 // Contiguous accumulate (types 0/1 rows, and type-2 via `inter`).
@@ -199,6 +294,79 @@ static inline bool vq_run2_dim(BitCursor* cur, const Codebook& book,
   }
 }
 
+// Register/descriptor variants: one BookDesc load replaces the
+// Codebook -> Huffman -> lut/vq pointer chase at every partition
+// transition, and the cursor state stays in the caller's registers for
+// the whole residue section.
+template <uint32_t DIM>
+static inline bool vq_run_r(BitRegs& rg, const uint8_t* data, size_t len,
+                            const Stream::BookDesc& bd,
+                            float* __restrict out, uint32_t nsym) {
+  return vq_core_r<DIM>(rg, data, len, bd.lut, bd.lbits, bd.vq,
+                        (const Huffman*)bd.huf, nsym,
+                        [&](const float* __restrict ve, uint32_t k) {
+                          float* __restrict o = out + (size_t)k * DIM;
+                          for (uint32_t d = 0; d < DIM; ++d) o[d] += ve[d];
+                        });
+}
+
+template <uint32_t DIM>
+static inline bool vq_run2_r(BitRegs& rg, const uint8_t* data, size_t len,
+                             const Stream::BookDesc& bd,
+                             float* __restrict r0, float* __restrict r1,
+                             uint32_t offs, uint32_t nsym) {
+  return vq_core_r<DIM>(
+      rg, data, len, bd.lut, bd.lbits, bd.vq, (const Huffman*)bd.huf, nsym,
+      [&](const float* __restrict ve, uint32_t k) {
+        const uint32_t base = offs + k * DIM;
+        float* __restrict ra = (base & 1) ? r1 : r0;
+        float* __restrict rb = (base & 1) ? r0 : r1;
+        const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+        for (uint32_t j = 0; 2 * j < DIM; ++j) ra[qa + j] += ve[2 * j];
+        for (uint32_t j = 0; 2 * j + 1 < DIM; ++j)
+          rb[qb + j] += ve[2 * j + 1];
+      });
+}
+
+static inline bool vq_run_dim_r(BitRegs& rg, const uint8_t* data,
+                                size_t len, const Stream::BookDesc& bd,
+                                float* out, uint32_t nsym) {
+  switch (bd.dim) {
+    case 1:
+      return vq_run_r<1>(rg, data, len, bd, out, nsym);
+    case 2:
+      return vq_run_r<2>(rg, data, len, bd, out, nsym);
+    case 3:
+      return vq_run_r<3>(rg, data, len, bd, out, nsym);
+    case 4:
+      return vq_run_r<4>(rg, data, len, bd, out, nsym);
+    case 6:
+      return vq_run_r<6>(rg, data, len, bd, out, nsym);
+    default:
+      return vq_run_r<8>(rg, data, len, bd, out, nsym);
+  }
+}
+
+static inline bool vq_run2_dim_r(BitRegs& rg, const uint8_t* data,
+                                 size_t len, const Stream::BookDesc& bd,
+                                 float* r0, float* r1, uint32_t offs,
+                                 uint32_t nsym) {
+  switch (bd.dim) {
+    case 1:
+      return vq_run2_r<1>(rg, data, len, bd, r0, r1, offs, nsym);
+    case 2:
+      return vq_run2_r<2>(rg, data, len, bd, r0, r1, offs, nsym);
+    case 3:
+      return vq_run2_r<3>(rg, data, len, bd, r0, r1, offs, nsym);
+    case 4:
+      return vq_run2_r<4>(rg, data, len, bd, r0, r1, offs, nsym);
+    case 6:
+      return vq_run2_r<6>(rg, data, len, bd, r0, r1, offs, nsym);
+    default:
+      return vq_run2_r<8>(rg, data, len, bd, r0, r1, offs, nsym);
+  }
+}
+
 // Integer line prediction (spec 9.2.6), signed like libvorbis's
 // render_point (the reference wraps in u32 instead; the semantics only
 // differ for out-of-range posts no encoder emits).
@@ -211,41 +379,33 @@ int32_t render_point(int32_t x0, int32_t y0, int32_t x1, int32_t y1,
   return dy < 0 ? y0 - off : y0 + off;
 }
 
-#ifdef LT_COUNT
-struct Counters {
-  uint64_t vq_syms[17] = {0};  // by dim (clamped 16)
-  uint64_t classwords = 0, floor_syms = 0, packets = 0, bits = 0;
-  ~Counters() {
-    fprintf(stderr, "packets %llu classwords %llu floor_syms %llu bits %llu\n",
-            (unsigned long long)packets, (unsigned long long)classwords,
-            (unsigned long long)floor_syms, (unsigned long long)bits);
-    for (int d = 0; d <= 16; ++d)
-      if (vq_syms[d])
-        fprintf(stderr, "  vq dim %d: %llu\n", d,
-                (unsigned long long)vq_syms[d]);
-  }
-};
-Counters g_counters;
-#define LT_CNT(x) g_counters.x
-#else
-#define LT_CNT(x) (void)0
-#endif
 
 }  // namespace
 
-// Decode floors + residues for one packet into the dense per-packet slices.
-// Returns a status code.
-int decode_packet(Stream* st, const uint8_t* pck, size_t len,
-                  int32_t* mode_out, uint8_t* prev_out,
-                  uint8_t* next_out, float* residue,  // [C, rw]
-                  uint8_t* f_kind,                    // [C]
-                  int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
-                  float* f0_cosc, float* f0_amp,      // [C,Omax],[C]
-                  uint32_t rw,    // residue row width (<= n1/2); writes past
-                                  // it drop, bit consumption is unchanged
-                  DecodeScratch* scratch) {
-  DecodeScratch local;
-  DecodeScratch& sc = scratch ? *scratch : local;
+// Cursor + mode state captured between the packet head (mode/window bits,
+// floors, no_residue propagation) and the residue section. Exists so the
+// interleaved chunk driver (decode_chunk_ileave below) can run K packets'
+// residue sections round-robin at symbol granularity while the sequential
+// path composes the exact same two halves.
+struct HeadState {
+  uint64_t acc;
+  uint32_t nbits;
+  size_t pos;
+  uint8_t mapping_idx;
+  uint32_t n;
+};
+
+// Mode/window bits + floors + no_residue coupling propagation (everything
+// before the residue section). Fills all non-residue outputs, zeroes the
+// residue rows, leaves the cursor state in *hs. sc.no_residue is live for
+// the caller's residue decode.
+static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
+                              int32_t* mode_out, uint8_t* prev_out,
+                              uint8_t* next_out, float* residue,
+                              uint8_t* f_kind, int32_t* f1_ys,
+                              uint8_t* f1_flags, float* f0_cosc,
+                              float* f0_amp, uint32_t rw, DecodeScratch& sc,
+                              HeadState* hs) {
   const uint32_t C = st->channels, P = st->P, Omax = st->Omax;
 #ifndef LT_NO_MEMSET  // bench-only knockout for cost attribution
   memset(residue, 0, sizeof(float) * C * rw);
@@ -453,10 +613,20 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
     }
   }
 
-  // ---- residues per submap ----
-#ifdef LT_NO_RESIDUE  // bench-only knockout for cost attribution
+  cur.sync_out(&hs->acc, &hs->nbits, &hs->pos);
+  hs->mapping_idx = mode.mapping;
+  hs->n = n;
   return LT_OK;
-#endif
+}
+
+// Residue section: decodes into the (already zeroed) residue rows.
+// sc.no_residue must hold the head's propagated flags.
+static int decode_packet_residues(Stream* st, BitCursor& cur,
+                                  const Mapping& mapping, uint32_t n,
+                                  float* residue, uint32_t rw,
+                                  DecodeScratch& sc) {
+  const uint32_t C = st->channels;
+  std::vector<uint8_t>& no_residue = sc.no_residue;
   size_t n_submaps = mapping.submap_floor.size();
   std::vector<float>& inter = sc.inter;  // type-2 interleave scratch
   for (size_t sm = 0; sm < n_submaps; ++sm) {
@@ -497,14 +667,33 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
         uint32_t partitions_to_read = n_to_read / r.partition_size;
         sc.cl.assign(partitions_to_read + cpc, 0);
         std::vector<uint32_t>& cl = sc.cl;
+        // Section-resident decode: the cursor lives in registers across
+        // ALL partitions/classwords/passes; book transitions are one
+        // BookDesc load; adjacent same-book partitions fuse into a single
+        // vq run (the hot loop averages ~2.5 symbols per partition visit,
+        // so transitions dominate — see PERF.md r4).
+        const Stream::BookDesc* descs = st->res_descs[res_idx].data();
+        const int32_t* ctab =
+            classbook.huff.single() ? nullptr : classbook.huff.lut_data();
+        const uint32_t clbits = ctab ? classbook.huff.lut_bits() : 0;
+        const uint32_t clmask = ctab ? (1u << clbits) - 1 : 0;
+        const uint8_t* data = cur.data();
+        const size_t dlen = cur.size();
+        BitRegs rg;
+        cur.sync_out(&rg.acc, &rg.nbits, &rg.pos);
         bool eop = false;
         for (int pass = 0; pass < 8 && !eop; ++pass) {
           if (pass > 0 && !(pass_used & (1u << pass))) continue;
           uint32_t pc = 0;
           while (pc < partitions_to_read && !eop) {
+            // pass 0 reads one classword per cpc partitions and may not
+            // fuse runs across the group boundary; later passes reuse the
+            // stored classes and fuse across the whole extent
+            uint32_t group_end = partitions_to_read;
             if (pass == 0) {
               uint32_t temp;
-              if (!classbook.huff.decode(&cur, &temp)) {
+              if (!huff_decode_r(rg, data, dlen, ctab, clbits, clmask,
+                                 &classbook.huff, &temp)) {
                 eop = true;
                 break;
               }
@@ -518,74 +707,53 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   temp /= r.classifications;
                 }
               }
+              group_end = pc + cpc < partitions_to_read
+                              ? pc + cpc
+                              : partitions_to_read;
             }
-            for (uint32_t ci = 0; ci < cpc && pc < partitions_to_read;
-                 ++ci, ++pc) {
-              uint32_t offs = begin + pc * r.partition_size;
-              int16_t book_idx = r.books[cl[pc]][pass];
-              if (book_idx < 0) continue;
-              const Codebook& book = st->setup.codebooks[book_idx];
-              const uint32_t dim = book.dimensions;
-              uint32_t nsym = dim ? (r.partition_size + dim - 1) / dim : 0;
-              // The unclipped fast paths require the vectors to tile the
-              // partition EXACTLY (nsym*dim == partition_size): when dim
-              // does not divide partition_size, the last vector's tail
-              // components are READ but DISCARDED at the partition
-              // boundary — libvorbis-oracle semantics (codebook.c
-              // vorbis_book_decodev_add clips at n=samples_per_partition;
-              // lewton src/audio.rs:601-614 instead adds across the
-              // boundary — we follow the oracle, see residue.py). The
-              // exact-tile condition also bounds every write: offs +
-              // partition_size <= end (<= 2*rw under direct2, <= rw via
-              // w_eff otherwise).
-              const bool full =
-                  nsym && vq_run_supported(dim) && !book.huff.single() &&
-                  nsym * dim == r.partition_size;
-              if (direct2) {
-                if (full) {
-                  if (!vq_run2_dim(&cur, book, dr0, dr1, offs, nsym, dim)) {
-                    eop = true;
-                    break;
-                  }
-                  continue;
-                }
-                // generic direct-write tail (odd dims, single-entry book,
-                // partition-crossing vectors): clip writes at the
-                // partition boundary, keep reading to ceil(psize/dim)
-                const float* __restrict vq = book.vq.data();
-                uint32_t i = 0;
-                while (i < r.partition_size) {
-                  uint32_t e;
-                  if (!book.huff.decode(&cur, &e)) {
-                    eop = true;
-                    break;
-                  }
-                  const float* ve = vq + (size_t)e * dim;
-                  const uint32_t lim =
-                      dim < r.partition_size - i ? dim
-                                                 : r.partition_size - i;
-                  const uint32_t base = offs + i;
-                  float* ra = (base & 1) ? dr1 : dr0;
-                  float* rb = (base & 1) ? dr0 : dr1;
-                  const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
-                  for (uint32_t j = 0; 2 * j < lim; ++j)
-                    ra[qa + j] += ve[2 * j];
-                  for (uint32_t j = 0; 2 * j + 1 < lim; ++j)
-                    rb[qb + j] += ve[2 * j + 1];
-                  i += dim;
-                }
-                if (eop) break;
+            while (pc < group_end) {
+              const Stream::BookDesc& bd = descs[(size_t)cl[pc] * 8 + pass];
+              if (bd.book < 0) {
+                ++pc;
                 continue;
               }
-              float* __restrict row = inter.data();
-              if (full) {
-                if (!vq_run_dim(&cur, book, row + offs, nsym, dim)) {
-                  eop = true;  // false == EOP (supported-dim checked above)
+              const uint32_t offs = begin + pc * r.partition_size;
+              if (bd.lut) {
+                // Exact-tile fast path (nsym*dim == partition_size): when
+                // dim does not divide partition_size, the last vector's
+                // tail components are READ but DISCARDED at the partition
+                // boundary — libvorbis-oracle semantics (codebook.c
+                // vorbis_book_decodev_add clips at n=samples_per_partition;
+                // lewton src/audio.rs:601-614 instead adds across the
+                // boundary — we follow the oracle, see residue.py). The
+                // exact-tile condition also bounds every write: offs +
+                // partition_size <= end (<= 2*rw under direct2, <= rw via
+                // w_eff otherwise).
+                uint32_t run = 1;
+                while (pc + run < group_end &&
+                       descs[(size_t)cl[pc + run] * 8 + pass].book ==
+                           bd.book)
+                  ++run;
+                const uint32_t nsym = bd.nsym * run;
+                const bool ok =
+                    direct2 ? vq_run2_dim_r(rg, data, dlen, bd, dr0, dr1,
+                                            offs, nsym)
+                            : vq_run_dim_r(rg, data, dlen, bd,
+                                           inter.data() + offs, nsym);
+                if (!ok) {
+                  eop = true;
                   break;
                 }
+                pc += run;
                 continue;
               }
-              const float* __restrict vq = book.vq.data();
+              // generic partition (odd dims, single-entry books,
+              // partition-crossing vectors): clip writes at the partition
+              // boundary, keep reading to ceil(psize/dim)
+              const Codebook& book = st->setup.codebooks[bd.book];
+              const uint32_t dim = book.dimensions;
+              const float* __restrict vqt = book.vq.data();
+              cur.sync_in(rg.acc, rg.nbits, rg.pos);
               uint32_t i = 0;
               while (i < r.partition_size) {
                 uint32_t e;
@@ -594,16 +762,31 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
                   break;
                 }
                 LT_CNT(vq_syms[dim > 16 ? 16 : dim]++);
+                const float* ve = vqt + (size_t)e * dim;
                 const uint32_t lim = dim < r.partition_size - i
                                          ? dim
                                          : r.partition_size - i;
-                vq_add(row + offs + i, vq + (size_t)e * dim, lim);
+                if (direct2) {
+                  const uint32_t base = offs + i;
+                  float* ra = (base & 1) ? dr1 : dr0;
+                  float* rb = (base & 1) ? dr0 : dr1;
+                  const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+                  for (uint32_t j = 0; 2 * j < lim; ++j)
+                    ra[qa + j] += ve[2 * j];
+                  for (uint32_t j = 0; 2 * j + 1 < lim; ++j)
+                    rb[qb + j] += ve[2 * j + 1];
+                } else {
+                  vq_add(inter.data() + offs + i, ve, lim);
+                }
                 i += dim;
               }
+              cur.sync_out(&rg.acc, &rg.nbits, &rg.pos);
               if (eop) break;
+              ++pc;
             }
           }
         }
+        cur.sync_in(rg.acc, rg.nbits, rg.pos);
       }
       if (!direct2) {
 #ifndef LT_NO_DEINT  // bench-only knockout for cost attribution
@@ -724,6 +907,416 @@ int decode_packet(Stream* st, const uint8_t* pck, size_t len,
   return LT_OK;
 }
 
+// Decode floors + residues for one packet into the dense per-packet slices.
+// Returns a status code.
+int decode_packet(Stream* st, const uint8_t* pck, size_t len,
+                  int32_t* mode_out, uint8_t* prev_out,
+                  uint8_t* next_out, float* residue,  // [C, rw]
+                  uint8_t* f_kind,                    // [C]
+                  int32_t* f1_ys, uint8_t* f1_flags,  // [C, P] sorted
+                  float* f0_cosc, float* f0_amp,      // [C,Omax],[C]
+                  uint32_t rw,    // residue row width (<= n1/2); writes past
+                                  // it drop, bit consumption is unchanged
+                  DecodeScratch* scratch) {
+  DecodeScratch local;
+  DecodeScratch& sc = scratch ? *scratch : local;
+  HeadState hs;
+  int s = decode_packet_head(st, pck, len, mode_out, prev_out, next_out,
+                             residue, f_kind, f1_ys, f1_flags, f0_cosc,
+                             f0_amp, rw, sc, &hs);
+  if (s != LT_OK) return s;
+#ifdef LT_NO_RESIDUE  // bench-only knockout for cost attribution
+  return LT_OK;
+#endif
+  BitCursor cur(pck, len);
+  cur.sync_in(hs.acc, hs.nbits, hs.pos);
+  return decode_packet_residues(st, cur,
+                                st->setup.mappings[hs.mapping_idx], hs.n,
+                                residue, rw, sc);
+}
+
+// ---------------------------------------------------------------------------
+// Interleaved residue decode
+//
+// The sequential symbol loop (vq_core) is LATENCY-bound, not ALU-bound:
+// each symbol's LUT load depends on the previous symbol's accumulator
+// shift (load -> and -> shift chain, ~19 cycles/symbol measured on this
+// host — see PERF.md r3/r4). Packets are entropy-independent (only the
+// window overlap couples them, and that lives on the device), so K
+// packets' residue sections can run ROUND-ROBIN at symbol granularity in
+// one thread: while lane 0's LUT load is in flight, lanes 1..K-1 issue
+// theirs. The structure walk (passes/classwords/partitions, identical
+// semantics to decode_packet_residues) advances as each symbol retires.
+//
+// Scope: residue type 2 with 1-2 channels where EVERY reachable partition
+// hits the exact-tile fast path (static per-setup check in lt_stream_new:
+// all books dim|psize, dim<=8, non-single, VQ-backed; classbook LUT
+// built). Anything else — and any packet whose clipped end exceeds the
+// direct-write bound — falls back to the sequential path, per packet.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Lane {
+  // bit cursor registers (BitCursor::sync_out form)
+  uint64_t acc;
+  uint32_t nbits;
+  size_t pos;
+  const uint8_t* data;
+  size_t len;
+  // current huffman table (classbook or the current partition's book)
+  const int32_t* lut;
+  uint32_t lbits, lmask;
+  const Huffman* huf;
+  // current partition's VQ accumulate
+  const float* vq;
+  uint32_t dim;
+  uint32_t sym_left;
+  uint32_t wpos;  // absolute interleaved write position
+  // output rows
+  float* r0;
+  float* r1;  // == r0 for mono
+  bool stereo;
+  uint8_t state;  // 0 = expect classword, 1 = expect VQ symbol
+  uint8_t pass_used;
+  uint32_t pass, pc, ci, parts;
+  uint32_t begin, psize, cpc;
+  // setup tables
+  const Stream::BookDesc* descs;  // [classifications * 8]
+  const uint8_t* class_lut;       // [entries * cpc]
+  const Huffman* class_huf;
+  const int32_t* class_tab;
+  uint32_t class_lbits, class_lmask;
+  uint32_t* cl;      // classification scratch [parts + cpc]
+  int pool;          // cl-buffer pool slot (returned on retire)
+  int t;             // packet index (i16 conversion on retire)
+};
+
+// Advance the structure walk to the next symbol-consuming step (classword
+// or first symbol of a book-bearing partition). Returns false when the
+// lane's residue section is fully decoded. Mirrors the pass/pc/ci loops of
+// decode_packet_residues exactly.
+static inline bool lane_next_work(Lane& L) {
+  for (;;) {
+    if (L.pc >= L.parts || L.ci == L.cpc) {
+      if (L.pc >= L.parts) {
+        do {
+          ++L.pass;
+        } while (L.pass < 8 && !((L.pass_used >> L.pass) & 1u));
+        if (L.pass >= 8) return false;
+        L.pc = 0;
+      }
+      L.ci = 0;
+      if (L.pass == 0) {  // classword carries the group's cpc classes
+        L.state = 0;
+        L.lut = L.class_tab;
+        L.lbits = L.class_lbits;
+        L.lmask = L.class_lmask;
+        L.huf = L.class_huf;
+        return true;
+      }
+    }
+    const Stream::BookDesc& bd = L.descs[(size_t)L.cl[L.pc] * 8 + L.pass];
+    if (bd.book >= 0) {  // gate guarantees every book is exact-tile fast
+      L.state = 1;
+      L.vq = bd.vq;
+      L.dim = bd.dim;
+      L.sym_left = bd.nsym;
+      L.wpos = L.begin + L.pc * L.psize;
+      L.lut = bd.lut;
+      L.lbits = bd.lbits;
+      L.lmask = bd.lmask;
+      L.huf = (const Huffman*)bd.huf;
+      return true;
+    }
+    ++L.pc;
+    ++L.ci;
+  }
+}
+
+// Feed one decoded symbol into the lane. Returns false when the lane is
+// done. Accumulate order within a packet is identical to the sequential
+// path (same bits, same adds), so outputs are bit-identical.
+static inline bool lane_consume(Lane& L, uint32_t val) {
+  if (L.state == 1) {
+    const float* __restrict ve = L.vq + (size_t)val * L.dim;
+    if (L.stereo) {  // parity-split direct write (see vq_run2),
+      // dim-specialized so the accumulate is unrolled straight-line code
+      const uint32_t base = L.wpos;
+      float* __restrict ra = (base & 1) ? L.r1 : L.r0;
+      float* __restrict rb = (base & 1) ? L.r0 : L.r1;
+      const uint32_t qa = base >> 1, qb = (base + 1) >> 1;
+      switch (L.dim) {
+        case 2:
+          ra[qa] += ve[0];
+          rb[qb] += ve[1];
+          break;
+        case 4:
+          ra[qa] += ve[0];
+          rb[qb] += ve[1];
+          ra[qa + 1] += ve[2];
+          rb[qb + 1] += ve[3];
+          break;
+        case 8:
+          for (uint32_t j = 0; j < 4; ++j) ra[qa + j] += ve[2 * j];
+          for (uint32_t j = 0; j < 4; ++j) rb[qb + j] += ve[2 * j + 1];
+          break;
+        default:
+          for (uint32_t j = 0; 2 * j < L.dim; ++j) ra[qa + j] += ve[2 * j];
+          for (uint32_t j = 0; 2 * j + 1 < L.dim; ++j)
+            rb[qb + j] += ve[2 * j + 1];
+      }
+    } else {
+      float* __restrict o = L.r0 + L.wpos;
+      switch (L.dim) {
+        case 2:
+          o[0] += ve[0];
+          o[1] += ve[1];
+          break;
+        case 4:
+          for (uint32_t d = 0; d < 4; ++d) o[d] += ve[d];
+          break;
+        case 8:
+          for (uint32_t d = 0; d < 8; ++d) o[d] += ve[d];
+          break;
+        default:
+          for (uint32_t d = 0; d < L.dim; ++d) o[d] += ve[d];
+      }
+    }
+    L.wpos += L.dim;
+    if (--L.sym_left) return true;  // same book, same table
+    ++L.pc;
+    ++L.ci;
+    return lane_next_work(L);
+  }
+  // classword: expand the precomputed class LUT row
+  const uint8_t* src = L.class_lut + (size_t)val * L.cpc;
+  for (uint32_t i = 0; i < L.cpc; ++i) L.cl[L.pc + i] = src[i];
+  return lane_next_work(L);
+}
+
+// Interleave knob: LT_ILEAVE_K packets round-robin per thread. DEFAULT
+// OFF (0): measured SLOWER than the sequential path at every K — cpu-time
+// A/B on the bench corpus: K=2 0.76x, K=4 0.65x, K=6 0.61x (PERF.md r4).
+// The symbol loop is not load-latency-bound on this host: out-of-order
+// execution already overlaps the LUT-load chain with the accumulate /
+// refill / structure work, and the per-symbol lane-state round-trip to
+// memory costs more than the overlap gains. Kept as an opt-in experiment
+// (it IS bit-identical — tests/test_native.py runs a parity case) for
+// hosts where the trade-off differs. Re-read per chunk call so tests can
+// toggle it via os.environ.
+static int ileave_k() {
+  const char* e = getenv("LT_ILEAVE_K");
+  int v = e ? atoi(e) : 0;
+  if (v < 0) v = 0;
+  if (v > 16) v = 16;
+  return v;
+}
+
+}  // namespace
+
+// Chunk decode with interleaved residue sections. ResidueT selects the
+// transport (f32 rows in place, or i16 conversion from pooled f32 rows on
+// lane retirement). Semantics identical to the sequential chunk loop.
+template <typename ResidueT>
+static void decode_chunk_ileave(Stream* st, const uint8_t* buf,
+                                const uint64_t* offs, const uint64_t* lens,
+                                int T, int32_t* mode, uint8_t* prevf,
+                                uint8_t* nextf, uint8_t* status,
+                                ResidueT* residue, uint8_t* f_kind,
+                                int32_t* f1_ys, uint8_t* f1_flags,
+                                float* f0_cosc, float* f0_amp, int rw,
+                                int K, DecodeScratch& sc) {
+  constexpr bool kI16 = sizeof(ResidueT) == sizeof(int16_t);
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  const Codebook* cbs = st->setup.codebooks.data();
+
+  // f32 row pool: for i16 transport each in-flight packet accumulates into
+  // its own pooled row (converted on retirement); for f32 transport rows
+  // point straight into the output block.
+  std::vector<std::vector<float>> rowpool;
+  if (kI16) rowpool.resize(K + 1, std::vector<float>(C * R));
+  std::vector<std::vector<uint32_t>> clpool(K);
+  std::vector<int> freepool(K);
+  for (int i = 0; i < K; ++i) freepool[i] = i;
+
+  std::vector<Lane> lanes((size_t)K);
+  int active = 0;
+  int t_next = 0;
+
+  auto row_for = [&](int t, int pool) -> float* {
+    if (kI16) return rowpool[pool >= 0 ? pool : K].data();
+    return reinterpret_cast<float*>(residue) + (size_t)t * C * R;
+  };
+  auto finish_i16 = [&](int t, const float* src) {
+    if (!kI16) return;
+    int16_t* __restrict dst =
+        reinterpret_cast<int16_t*>(residue) + (size_t)t * C * R;
+    for (size_t i = 0; i < C * R; ++i) {
+      float v = src[i];
+      v = v < -32768.0f ? -32768.0f : (v > 32767.0f ? 32767.0f : v);
+      dst[i] = (int16_t)v;
+    }
+  };
+
+  // Head-decode packets and stage qualifying residue sections as lanes
+  // until K are in flight; non-qualifying packets decode sequentially
+  // right away (sc.no_residue is still live from their head).
+  auto feed = [&]() {
+    while (active < K && t_next < T) {
+      const int t = t_next++;
+      const int pool = kI16 ? freepool.back() : -1;
+      float* row = row_for(t, pool);
+      HeadState hs;
+      int s;
+      try {
+        s = decode_packet_head(st, buf + offs[t], lens[t], mode + t,
+                               prevf + t, nextf + t, row,
+                               f_kind + (size_t)t * C,
+                               f1_ys + (size_t)t * C * P,
+                               f1_flags + (size_t)t * C * P,
+                               f0_cosc + (size_t)t * C * Om,
+                               f0_amp + (size_t)t * C, (uint32_t)rw, sc,
+                               &hs);
+      } catch (const std::exception&) {
+        s = LT_BAD;
+      }
+      status[t] = (uint8_t)s;
+      if (s != LT_OK) {
+        finish_i16(t, row);
+        continue;
+      }
+      const Mapping& mapping = st->setup.mappings[hs.mapping_idx];
+      bool staged = false;
+      if (st->map_fast[hs.mapping_idx]) {
+        const uint32_t res_idx = mapping.submap_residue[0];
+        const Residue& r = st->setup.residues[res_idx];
+        // all-do-not-decode => the packet has no residue section at all
+        bool all_dnd = true;
+        for (uint32_t j = 0; j < C; ++j) all_dnd &= (bool)sc.no_residue[j];
+        const uint32_t actual = hs.n * (uint32_t)C / 2;
+        const uint32_t begin = r.begin < actual ? r.begin : actual;
+        const uint32_t end = r.end < actual ? r.end : actual;
+        const bool in_bounds =
+            C == 2 ? (uint64_t)end <= 2 * (uint64_t)rw
+                   : (uint64_t)end <= (uint64_t)rw;
+        if (all_dnd || begin >= end) {
+          staged = true;  // nothing to decode; row stays zero
+          finish_i16(t, row);
+        } else if (in_bounds) {
+          Lane& L = lanes[active++];
+          BitCursor cur(buf + offs[t], lens[t]);
+          cur.sync_in(hs.acc, hs.nbits, hs.pos);
+          cur.sync_out(&L.acc, &L.nbits, &L.pos);
+          L.data = buf + offs[t];
+          L.len = lens[t];
+          L.r0 = row;
+          L.r1 = C == 2 ? row + R : row;
+          L.stereo = C == 2;
+          L.pass_used = st->pass_used[res_idx];
+          L.pass = 0;
+          L.pc = 0;
+          L.parts = (end - begin) / r.partition_size;
+          L.begin = begin;
+          L.psize = r.partition_size;
+          L.descs = st->res_descs[res_idx].data();
+          const Codebook& cb = cbs[r.classbook];
+          L.cpc = cb.dimensions;
+          L.ci = L.cpc;  // forces the group-boundary branch: classword
+          L.class_lut = st->class_luts[res_idx].data();
+          L.class_huf = &cb.huff;
+          L.class_tab = cb.huff.lut_data();
+          L.class_lbits = cb.huff.lut_bits();
+          L.class_lmask = (1u << L.class_lbits) - 1;
+          if (kI16) {
+            L.pool = pool;
+            freepool.pop_back();
+          } else {
+            L.pool = -1;
+          }
+          L.t = t;
+          std::vector<uint32_t>& clv = clpool[kI16 ? pool : active - 1];
+          clv.assign(L.parts + L.cpc, 0);
+          L.cl = clv.data();
+          if (!lane_next_work(L)) {  // degenerate: no book-bearing work
+            --active;
+            if (kI16) freepool.push_back(pool);
+            finish_i16(t, row);
+          }
+          staged = true;
+        }
+      }
+      if (!staged) {
+        // sequential fallback (exact decode_packet semantics)
+        BitCursor cur(buf + offs[t], lens[t]);
+        cur.sync_in(hs.acc, hs.nbits, hs.pos);
+        try {
+          status[t] = (uint8_t)decode_packet_residues(
+              st, cur, mapping, hs.n, row, (uint32_t)rw, sc);
+        } catch (const std::exception&) {
+          status[t] = LT_BAD;
+        }
+        finish_i16(t, row);
+      }
+    }
+  };
+
+  auto retire = [&](int l) {
+    Lane& L = lanes[l];
+    finish_i16(L.t, L.r0);
+    if (kI16) freepool.push_back(L.pool);
+    lanes[l] = lanes[--active];
+    if (!kI16 && active > 0 && l < active) {
+      // f32 mode keys clpool by lane slot: move the tail lane's buffer
+      std::swap(clpool[l], clpool[active]);
+      lanes[l].cl = clpool[l].data();
+    }
+  };
+
+  feed();
+  while (active > 0) {
+    for (int l = 0; l < active; ++l) {
+      Lane& L = lanes[l];
+      if (L.nbits < L.lbits) {  // refill (little-endian bulk load)
+        if (L.len - L.pos >= 8) {
+          uint64_t w;
+          memcpy(&w, L.data + L.pos, 8);
+          L.acc |= w << L.nbits;
+          uint32_t bytes = (63 - L.nbits) >> 3;
+          L.pos += bytes;
+          L.nbits += bytes << 3;
+        } else {
+          while (L.nbits <= 56 && L.pos < L.len) {
+            L.acc |= (uint64_t)L.data[L.pos++] << L.nbits;
+            L.nbits += 8;
+          }
+        }
+      }
+      const int32_t e = L.lut[(uint32_t)L.acc & L.lmask];
+      const uint32_t len = (uint32_t)e & 31u;
+      uint32_t val;
+      if (__builtin_expect(e < 0 || len > L.nbits, 0)) {
+        // long code, or EOP (nbits < lbits only at EOP after refill)
+        BitCursor cur(L.data, L.len);
+        cur.sync_in(L.acc, L.nbits, L.pos);
+        bool ok = L.huf->decode(&cur, &val);
+        cur.sync_out(&L.acc, &L.nbits, &L.pos);
+        if (!ok) {  // EOP: clean stop, remainder stays zero
+          retire(l--);
+          continue;
+        }
+      } else {
+        L.acc >>= len;
+        L.nbits -= len;
+        val = (uint32_t)e >> 5;
+      }
+      if (!lane_consume(L, val)) retire(l--);
+    }
+    if (active < K && t_next < T) feed();
+  }
+}
+
 }  // namespace lt
 
 // ---------------------------------------------------------------------------
@@ -784,6 +1377,67 @@ Stream* lt_stream_new(const uint8_t* ident_pck, size_t ident_len,
       }
     }
   }
+  // Per-residue flattened book descriptors ([class*8 + pass], one load at
+  // every partition transition), plus the interleaved-decode qualification
+  // (see decode_chunk_ileave): a residue is "fast" when EVERY reachable
+  // partition hits the exact-tile descriptor path.
+  st->res_descs.resize(st->setup.residues.size());
+  st->res_fast.assign(st->setup.residues.size(), 0);
+  for (size_t ri = 0; ri < st->setup.residues.size(); ++ri) {
+    const lt::Residue& r = st->setup.residues[ri];
+    std::vector<lt::Stream::BookDesc>& descs = st->res_descs[ri];
+    descs.assign((size_t)r.classifications * 8, lt::Stream::BookDesc{});
+    bool fast = r.residue_type == 2 && r.partition_size > 0;
+    for (size_t c = 0; c < r.books.size() && c < r.classifications; ++c) {
+      for (int p = 0; p < 8; ++p) {
+        int16_t bi = r.books[c][p];
+        if (bi < 0) continue;
+        if ((size_t)bi >= st->setup.codebooks.size()) {
+          fast = false;
+          continue;
+        }
+        lt::Stream::BookDesc& d = descs[c * 8 + p];
+        const lt::Codebook& bk = st->setup.codebooks[bi];
+        d.book = bi;
+        d.huf = &bk.huff;
+        d.dim = (uint16_t)bk.dimensions;
+        const uint32_t dim = bk.dimensions;
+        const bool tile =
+            bk.has_vq && dim >= 1 && dim <= 8 && dim != 5 && dim != 7 &&
+            !bk.huff.single() && !bk.huff.empty() && r.partition_size > 0 &&
+            r.partition_size % dim == 0;
+        if (tile) {
+          d.lut = bk.huff.lut_data();
+          d.lbits = (uint16_t)bk.huff.lut_bits();
+          d.lmask = (1u << d.lbits) - 1;
+          d.vq = bk.vq.data();
+          d.nsym = r.partition_size / dim;
+        } else {
+          fast = false;
+        }
+      }
+    }
+    if (r.classbook >= st->setup.codebooks.size()) {
+      fast = false;
+    } else {
+      const lt::Codebook& cb = st->setup.codebooks[r.classbook];
+      if (cb.dimensions == 0 || cb.huff.single() || cb.huff.empty() ||
+          st->class_luts[ri].empty())
+        fast = false;
+    }
+    st->res_fast[ri] = fast;
+  }
+  st->map_fast.assign(st->setup.mappings.size(), 0);
+  bool any_fast = false;
+  for (size_t mi = 0; mi < st->setup.mappings.size(); ++mi) {
+    const lt::Mapping& m = st->setup.mappings[mi];
+    bool ok = m.submap_floor.size() == 1 && !m.submap_residue.empty() &&
+              m.submap_residue[0] < st->setup.residues.size() &&
+              st->res_fast[m.submap_residue[0]];
+    st->map_fast[mi] = ok;
+    any_fast |= ok;
+  }
+  st->ileave_any = any_fast && st->channels >= 1 && st->channels <= 2;
   return st.release();
 } catch (const std::exception& ex) {
   // C++ exceptions (e.g. bad_alloc on a hostile setup) must never cross the
@@ -823,6 +1477,16 @@ int lt_decode_chunk(Stream* st, const uint8_t* buf, const uint64_t* offs,
   const size_t C = st->channels, P = st->P, Om = st->Omax;
   const size_t R = (size_t)rw;
   lt::DecodeScratch scratch;  // reused across the chunk's packets
+#ifndef LT_NO_RESIDUE  // knockout builds need the sequential path's early-out
+  const int K = lt::ileave_k();
+  if (K >= 2 && st->ileave_any && T > 1) {
+    lt::decode_chunk_ileave<float>(st, buf, offs, lens, T, mode, prevf,
+                                   nextf, status, residue, f_kind, f1_ys,
+                                   f1_flags, f0_cosc, f0_amp, rw, K,
+                                   scratch);
+    return T;
+  }
+#endif
   for (int t = 0; t < T; ++t) {
     try {
       status[t] = (uint8_t)lt::decode_packet(
@@ -854,6 +1518,16 @@ int lt_decode_chunk_i16(Stream* st, const uint8_t* buf, const uint64_t* offs,
   const size_t C = st->channels, P = st->P, Om = st->Omax;
   const size_t R = (size_t)rw;
   lt::DecodeScratch scratch;
+#ifndef LT_NO_RESIDUE
+  const int K = lt::ileave_k();
+  if (K >= 2 && st->ileave_any && T > 1) {
+    lt::decode_chunk_ileave<int16_t>(st, buf, offs, lens, T, mode, prevf,
+                                     nextf, status, residue, f_kind, f1_ys,
+                                     f1_flags, f0_cosc, f0_amp, rw, K,
+                                     scratch);
+    return T;
+  }
+#endif
   std::vector<float> row(C * R);
   for (int t = 0; t < T; ++t) {
     try {

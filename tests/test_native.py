@@ -127,3 +127,29 @@ def test_packet_spans_zero_copy_batch_parity(corpus_dir):
     assert set(fr_bytes) == set(fr_spans)
     for k in fr_bytes:
         np.testing.assert_array_equal(fr_bytes[k], fr_spans[k], err_msg=k)
+
+
+def test_interleaved_residue_decode_parity(corpus_dir, monkeypatch):
+    """LT_ILEAVE_K > 1 routes chunks through the round-robin lane driver
+    (decode_chunk_ileave, an opt-in experiment — measured slower on this
+    host, see PERF.md r4); its frames must be byte-identical to the
+    sequential path's, for both f32 and i16 residue transports."""
+    from lewton_tpu.models.decoder import StreamDecoder
+
+    data = open(os.path.join(corpus_dir, "stereo_44k_q3.ogg"), "rb").read()
+    rdr = PacketReader(data)
+    headers, _ = read_headers(rdr)
+    spans, _, _, _, _ = native.demux_spans(data)
+    audio = spans[3:]
+    sd = StreamDecoder(headers.ident, headers.setup, chunk=48,
+                       raw_headers=(headers.raw_ident, headers.raw_setup))
+    for dtype in (None, np.float32):  # setup default (i16 here) and f32
+        if dtype is not None:
+            sd._native.residue_dtype = dtype
+        monkeypatch.setenv("LT_ILEAVE_K", "0")
+        seq = sd.entropy_chunk_batch([audio[:48]] * 2)
+        monkeypatch.setenv("LT_ILEAVE_K", "4")
+        ilv = sd.entropy_chunk_batch([audio[:48]] * 2)
+        assert set(seq) == set(ilv)
+        for k in seq:
+            np.testing.assert_array_equal(seq[k], ilv[k], err_msg=k)
