@@ -140,6 +140,31 @@ static inline bool huff_decode_r(BitRegs& rg, const uint8_t* data,
   return ok;
 }
 
+// Raw n-bit read on registers (n in 1..32). False on end-of-packet.
+static inline bool read_r(BitRegs& rg, const uint8_t* data, size_t len,
+                          uint32_t n, uint32_t* out) {
+  if (rg.nbits < n) {
+    regs_refill(rg, data, len);
+    if (rg.nbits < n) return false;
+  }
+  *out = (uint32_t)(rg.acc & ((1ull << n) - 1));
+  rg.acc >>= n;
+  rg.nbits -= n;
+  return true;
+}
+
+// One huffman scalar on registers straight from a Codebook (floor decode:
+// books rotate per symbol, so the lut/bits fetch happens per call).
+static inline bool huff_decode_cb_r(BitRegs& rg, const uint8_t* data,
+                                    size_t len, const Codebook& cb,
+                                    uint32_t* val) {
+  const Huffman& h = cb.huff;
+  if (h.single()) return huff_decode_r(rg, data, len, nullptr, 0, 0, &h, val);
+  const uint32_t lbits = h.lut_bits();
+  return huff_decode_r(rg, data, len, h.lut_data(), lbits,
+                       (1u << lbits) - 1, &h, val);
+}
+
 template <uint32_t DIM, class Accum>
 static inline bool vq_core_r(BitRegs& rg, const uint8_t* __restrict data,
                              size_t len, const int32_t* __restrict lut,
@@ -436,8 +461,16 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
   *next_out = next_flag;
 
   // ---- floors (EOP => channel unused; bad data => whole packet bad) ----
+  // Register-resident across every channel's floor: raw reads and huffman
+  // symbols run on BitRegs (read_r / huff_decode_cb_r), synced back to the
+  // cursor once at the end — the per-symbol cursor-object round trip was
+  // ~20% of packet time (PERF.md r4).
   sc.no_residue.assign(C, 0);
   std::vector<uint8_t>& no_residue = sc.no_residue;
+  const uint8_t* fdata = cur.data();
+  const size_t flen = cur.size();
+  BitRegs frg;
+  cur.sync_out(&frg.acc, &frg.nbits, &frg.pos);
   for (uint32_t ch = 0; ch < C; ++ch) {
     const Floor& fl = st->setup.floors[mapping.submap_floor[mapping.mux[ch]]];
     if (fl.type == 0) {
@@ -447,14 +480,14 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
       {
         uint32_t lo_bits = f.amplitude_bits > 32 ? 32 : f.amplitude_bits;
         uint32_t lo;
-        if (!cur.read(lo_bits, &lo)) {
+        if (!read_r(frg, fdata, flen, lo_bits, &lo)) {
           no_residue[ch] = true;
           continue;
         }
         amplitude = lo;
         if (f.amplitude_bits > 32) {
           uint32_t hi;
-          if (!cur.read(f.amplitude_bits - 32, &hi)) {
+          if (!read_r(frg, fdata, flen, f.amplitude_bits - 32, &hi)) {
             no_residue[ch] = true;
             continue;
           }
@@ -466,7 +499,7 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
         continue;
       }
       uint32_t booknumber;
-      if (!cur.read(ilog(f.books.size()), &booknumber)) {
+      if (!read_r(frg, fdata, flen, ilog(f.books.size()), &booknumber)) {
         no_residue[ch] = true;
         continue;
       }
@@ -479,7 +512,7 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
       bool eop = false;
       while (got < f.order) {
         uint32_t e;
-        if (!cb.huff.decode(&cur, &e)) {
+        if (!huff_decode_cb_r(frg, fdata, flen, cb, &e)) {
           eop = true;
           break;
         }
@@ -497,8 +530,8 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
       f0_amp[ch] = (float)amplitude;
     } else {
       const Floor1& f = fl.f1;
-      bool nonzero;
-      if (!cur.read_flag(&nonzero) || !nonzero) {
+      uint32_t nonzero;
+      if (!read_r(frg, fdata, flen, 1, &nonzero) || !nonzero) {
         no_residue[ch] = true;
         continue;
       }
@@ -508,7 +541,8 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
       sc.y.assign(values, 0);
       std::vector<uint32_t>& y = sc.y;
       bool eop = false;
-      if (!cur.read(b, &y[0]) || !cur.read(b, &y[1])) {
+      if (!read_r(frg, fdata, flen, b, &y[0]) ||
+          !read_r(frg, fdata, flen, b, &y[1])) {
         no_residue[ch] = true;
         continue;
       }
@@ -522,7 +556,7 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
         if (cbits > 0) {
           const Codebook& mb =
               st->setup.codebooks[f.class_masterbooks[cls]];
-          if (!mb.huff.decode(&cur, &cval)) {
+          if (!huff_decode_cb_r(frg, fdata, flen, mb, &cval)) {
             eop = true;
             break;
           }
@@ -532,7 +566,8 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
           cval >>= cbits;
           if (book >= 0) {
             uint32_t t;
-            if (!st->setup.codebooks[book].huff.decode(&cur, &t)) {
+            if (!huff_decode_cb_r(frg, fdata, flen,
+                                  st->setup.codebooks[book], &t)) {
               eop = true;
               break;
             }
@@ -602,6 +637,7 @@ static int decode_packet_head(Stream* st, const uint8_t* pck, size_t len,
       f_kind[ch] = 1;
     }
   }
+  cur.sync_in(frg.acc, frg.nbits, frg.pos);
 
   // ---- no_residue propagation via coupling (spec 4.3.4) ----
   for (size_t s = 0; s < mapping.coupling_magnitude.size(); ++s) {
