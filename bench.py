@@ -228,10 +228,15 @@ def check_conformance(args) -> None:
 
     crafted = {name: build_stream(spec)
                for name, spec in sorted(VARIANTS.items())}
-    # floor0 corners: strided type-0 writes; floor0 x square-polar coupling
+    # floor0 corners: strided type-0 writes; floor0 x square-polar
+    # coupling; packet-selected booknumber 1; max amplitude + near-
+    # singular LSP (loud clipping — the oracle-pinnable edge of the exp
+    # saturation corner, VERDICT r3 #4c)
     crafted["f0_restype0"] = build_f0(residue_type=0)
     crafted["f0_coupled_stereo"] = build_f0(channels=2, submaps=1,
                                             residue_type=2, coupling=True)
+    crafted["f0_two_books"] = build_f0(n_books=2)
+    crafted["f0_max_amp"] = build_f0(max_amp=True)
     for name, data in crafted.items():
         with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
             f.write(data)

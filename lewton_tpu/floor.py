@@ -126,11 +126,18 @@ def floor0_curve(df: DecodedFloor0, blockflag: int, n2: int, rate: int) -> np.nd
         * np.float32(fl.amplitude_offset)
         / np.float32((1 << fl.amplitude_bits) - 1)
     )
-    lfv = np.exp(
-        np.float32(0.11512925)
-        * (lfv_common / np.sqrt(p + q) - np.float32(fl.amplitude_offset)),
-        dtype=np.float32,
+    arg = np.float32(0.11512925) * (
+        lfv_common / np.sqrt(p + q) - np.float32(fl.amplitude_offset)
     )
+    # Saturate instead of overflowing to inf: libvorbis (the conformance
+    # oracle) computes plain exp here too, so any finite arg matches it
+    # bit-for-bit; past f32 range (arg > ~88.7, reachable only by crafted
+    # max-amplitude near-singular-LSP streams — no encoder emits them)
+    # libvorbis goes to inf and then NaN (inf x 0 residue), which no
+    # backend can pin. We clamp to a finite f32-max-scale curve: huge
+    # spectra still clamp to +/-32767, zero residues stay 0 (never NaN).
+    # Deliberate, documented divergence on unreachable-by-encoders input.
+    lfv = np.exp(np.minimum(arg, np.float32(88.0)), dtype=np.float32)
     return lfv.astype(np.float32)
 
 

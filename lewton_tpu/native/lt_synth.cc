@@ -284,8 +284,11 @@ void floor0_curve(Decoder* dec, uint32_t floor_idx, const float* cosc,
         q *= 4.0f * qm * qm;
       }
     }
-    out[i] = std::exp(0.11512925f *
-                      (lfv_common / std::sqrt(p + q) - (float)f.amplitude_offset));
+    // saturate past f32 exp range instead of inf (then NaN via 0 residue);
+    // identity for any arg libvorbis keeps finite — see floor.floor0_curve
+    float arg = 0.11512925f *
+                (lfv_common / std::sqrt(p + q) - (float)f.amplitude_offset);
+    out[i] = std::exp(std::min(arg, 88.0f));
   }
 }
 

@@ -349,5 +349,7 @@ def floor0_curve_batch(
     arg = jnp.float32(0.11512925) * (
         lfv_common[:, :, None] / jnp.sqrt(p + q) - amp_offset[:, :, None]
     )
-    curve = jnp.exp(arg)
+    # saturate past f32 exp range instead of inf (then NaN via 0 residue);
+    # identity for any arg libvorbis keeps finite — see floor.floor0_curve
+    curve = jnp.exp(jnp.minimum(arg, jnp.float32(88.0)))
     return jnp.where((amp > 0)[:, :, None], curve, jnp.float32(0.0))

@@ -13,8 +13,14 @@ __all__ = ["to_i16", "planar_f32", "planar_i16", "interleaved_f32", "interleaved
 
 
 def to_i16(x: np.ndarray) -> np.ndarray:
-    """f32 -> i16 with the reference's rounding (truncation toward zero)."""
-    scaled = x.astype(np.float32) * np.float32(32768.0)
+    """f32 -> i16 with the reference's rounding (truncation toward zero).
+
+    The pre-scale clip is exact for every in-range value (|x| < 2 already
+    clamps after scaling) and keeps saturation-scale floor0 spectra
+    (~1e35, crafted max-amplitude streams) from overflowing the f32
+    multiply to inf — the clamp result is identical either way."""
+    x = np.clip(x.astype(np.float32), -2.0, 2.0)
+    scaled = x * np.float32(32768.0)
     clamped = np.clip(scaled, -32768.0, 32767.0)
     return np.trunc(clamped).astype(np.int16)
 

@@ -97,3 +97,30 @@ def test_escape_posts_actually_exercised():
         if (np.asarray(y)[2:] >= rng).any():
             saw_escape = True
     assert saw_escape and saw_clamp
+
+
+def test_vq_lookup_type_coverage():
+    """The crafted residue program must route residues through BOTH VQ
+    lookup types (1: lattice expansion, 2: direct table) end to end —
+    libvorbisenc never emits lookup type 2 (the whole generated corpus is
+    types 0/1, checked in test_conformance), so the crafted streams are
+    the only end-to-end device exercise of type-2 residue books
+    (VERDICT r3 #4a)."""
+    from lewton_tpu.header import read_header_ident, read_header_setup
+    from lewton_tpu.ogg import PacketReader
+    from tools.craft import VARIANTS, build_stream as build
+
+    seen: set[int] = set()
+    for name in ("f1_base", "f1_lookup1_book"):
+        data = build(VARIANTS[name])
+        r = PacketReader(data)
+        ident = read_header_ident(r.read_packet().data)
+        r.read_packet()
+        setup = read_header_setup(r.read_packet().data, ident)
+        # the residue VQ book is the one its cascade actually references
+        res = setup.residues[0]
+        for row in res.books:
+            for b in row:
+                if b >= 0:
+                    seen.add(setup.codebooks[b].lookup_type)
+    assert {1, 2} <= seen, f"crafted residue books only cover {seen}"
