@@ -403,6 +403,7 @@ def bench_e2e(args) -> None:
     dec = BatchDecoder(
         headers.ident, headers.setup, chunk=min(args.chunk, 64),
         raw_headers=(headers.raw_ident, headers.raw_setup),
+        scan=max(1, args.scan),
     )
     # warmup/compile with the same batch geometry as the timed run
     dec.decode_streams_i16([pcks] * S, compact=args.compact)

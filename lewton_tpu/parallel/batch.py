@@ -188,6 +188,40 @@ def decode_chunk_batch_packed_i16(cs, residue, bbuf, ibuf, fbuf, shapes,
     return _batch_core(cs, fr, carry, True, None)
 
 
+@partial(jax.jit, static_argnames=("shapes",))
+def decode_chunks_scan_packed_i16(cs, residue, bbuf, ibuf, fbuf, shapes,
+                                  carry):
+    """N chunks per dispatch over PACKED buffers, padded-i16 output.
+
+    Leaves re-view to [N, S, T, ...]; a `lax.scan` chains the window carry
+    through the N chunks (sequential anyway) so the per-dispatch host and
+    tunnel latency — and the per-chunk device_put count — amortize over N.
+    Returns (stacked [N, S, T, C*outw] i16, [N, S, T] lens), final carry."""
+    fr = unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes)
+
+    def step(c, fr_n):
+        (out, out_len), c2 = _batch_core(cs, fr_n, c, True, None)
+        return c2, (out, out_len)
+
+    carry2, outs = jax.lax.scan(step, carry, fr)
+    return outs, carry2
+
+
+@partial(jax.jit, static_argnames=("shapes", "compact_cap"))
+def decode_chunks_scan_packed(cs, residue, bbuf, ibuf, fbuf, shapes, carry,
+                              compact_cap):
+    """N chunks per dispatch over PACKED buffers, device-compacted output
+    ([N, S, cap, C] i16 + [N, S] totals). One cap covers all N chunks."""
+    fr = unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes)
+
+    def step(c, fr_n):
+        (pcm, total, lens), c2 = _batch_core(cs, fr_n, c, False, compact_cap)
+        return c2, (pcm, total)
+
+    carry2, outs = jax.lax.scan(step, carry, fr)
+    return outs, carry2
+
+
 def host_buffers_reusable() -> bool:
     """Whether a host frame buffer may be rewritten once its device_put
     result is ready.
@@ -247,7 +281,7 @@ class BatchDecoder:
     """
 
     def __init__(self, ident, setup, chunk: int = 64, mesh: Mesh | None = None,
-                 raw_headers=None, frontend: str = "auto"):
+                 raw_headers=None, frontend: str = "auto", scan: int = 1):
         from ..models.decoder import StreamDecoder
 
         self.ident, self.setup = ident, setup
@@ -257,6 +291,8 @@ class BatchDecoder:
         self.cs = self._sd.cs
         self.chunk = chunk
         self.mesh = mesh
+        #: chunks per device dispatch in decode_streams_i16 (lax.scan)
+        self.scan = scan
 
     def decode_streams(self, streams: list[list[bytes]]) -> list[np.ndarray]:
         """streams: per stream, its audio packets. Returns planar f32 PCM
@@ -295,7 +331,8 @@ class BatchDecoder:
         ]
 
     def decode_streams_i16(self, streams: list[list[bytes]],
-                           compact: str = "device") -> list[np.ndarray]:
+                           compact: str = "device",
+                           scan: int | None = None) -> list[np.ndarray]:
         """Serving path: returns interleaved i16 PCM [total, C] per stream.
 
         ``compact="device"``: PCM is compacted and converted to i16 on
@@ -306,10 +343,17 @@ class BatchDecoder:
         but removes the device compaction scan (~10x the synthesis time
         per chunk); best on real PCIe where transfers are cheap.
 
-        The chunk loop is pipelined (SURVEY §7 step 6): each chunk's device
-        compute + D2H stream asynchronously while the host entropy-decodes
-        the next chunk, and frame buffers double-buffer so the [S, T, ...]
-        host allocations happen once, not per chunk.
+        ``scan=N`` dispatches N chunks per device call via `lax.scan`
+        (parallel/batch.decode_chunks_scan_packed*): the window carry
+        chains chunk-to-chunk anyway, so scanning adds no serialization —
+        it divides the per-dispatch host/tunnel latency and the
+        device_put count by N. A short tail (< N chunks) falls back to
+        the per-chunk program, so at most two programs compile.
+
+        The chunk loop is pipelined (SURVEY §7 step 6): each group's
+        device compute + D2H stream asynchronously while the host
+        entropy-decodes the next group, and frame buffers double-buffer
+        so the [N, S, T, ...] host allocations happen once, not per group.
         """
         from ..models.decoder import predict_out_lens
 
@@ -317,34 +361,59 @@ class BatchDecoder:
         max_t = max(len(p) for p in streams)
         C, W = self.cs.channels, self.cs.n1 // 2
         n1 = self.cs.n1
+        scan = self.scan if scan is None else scan
+        scan = max(1, int(scan))
+        if self.mesh is not None:
+            scan = 1  # sharded path stays per-chunk
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (S,) + x.shape),
             init_window_carry(C, W),
         )
         started = np.zeros(S, bool)
-        chunks: list[tuple] = []  # (device pcm [S, cap, C], totals [S])
-        # Double-buffered host frame arrays: slot ci%2 may be rewritten only
-        # once chunk ci-2's H2D finished (block on its device arrays).
-        # Reuse is gated on host_buffers_reusable(): the CPU backend
-        # zero-copy-aliases large buffers, where reuse would race.
-        bufs: list = [None, None]
+        n_chunks = -(-max_t // self.chunk)
+        # groups of chunk indices: full scan-N groups + a per-chunk tail
+        groups: list[list[int]] = []
+        ci = 0
+        while ci < n_chunks:
+            n = scan if ci + scan <= n_chunks else 1
+            groups.append(list(range(ci, ci + n)))
+            ci += n
+        #: per dispatched group: (pcm [N,S,...], totals [N,S], lens|None)
+        chunks: list[tuple] = []
+        # Double-buffered host frame arrays: slot gi%2 may be rewritten
+        # only once group gi-2's H2D finished (block on its device
+        # arrays). Reuse is gated on host_buffers_reusable(): the CPU
+        # backend zero-copy-aliases large buffers, where reuse would race.
+        bufs: dict = {}
         h2d_refs: list = [None, None]
         use_native = self._sd._native is not None and host_buffers_reusable()
-        for ci, t0 in enumerate(range(0, max_t, self.chunk)):
+        for gi, group in enumerate(groups):
+            N = len(group)
             buf = None
             if use_native and self.mesh is None:
-                slot = ci % 2
+                slot = gi % 2
                 if h2d_refs[slot] is not None:
                     jax.block_until_ready(h2d_refs[slot])
-                if bufs[slot] is None:
-                    bufs[slot] = self._sd._native.frame_buffers(
-                        self.chunk, lead=(S,))
-                buf = bufs[slot]
-            fr_np = self._sd.entropy_chunk_batch(
-                [pks[t0 : t0 + self.chunk] for pks in streams], out=buf
-            )
-            lens, started = predict_out_lens(self.cs, fr_np, started)
-            totals = lens.sum(axis=-1)
+                if (slot, N) not in bufs:
+                    bufs[(slot, N)] = self._sd._native.frame_buffers(
+                        self.chunk, lead=(N, S))
+                buf = bufs[(slot, N)]
+            else:
+                zero = self._sd.entropy_chunk([])
+                buf = {k: np.zeros((N, S) + v.shape, v.dtype)
+                       for k, v in zero.items()}
+            lens_all = np.zeros((N, S, self.chunk), np.int64)
+            for n, ci in enumerate(group):
+                t0 = ci * self.chunk
+                view = {k: v[n] for k, v in buf.items()}
+                self._sd.entropy_chunk_batch(
+                    [pks[t0 : t0 + self.chunk] for pks in streams], out=view
+                )
+                lens_all[n], started = predict_out_lens(
+                    self.cs, view, started)
+            fr_np = buf if N > 1 else {k: v[0] for k, v in buf.items()}
+            lens = lens_all if N > 1 else lens_all[0]
+            totals = lens.sum(axis=-1)  # [N, S] or [S]
             # one bucketed cap for the whole batch: few distinct caps ->
             # few compiles
             cap = int(-(-(int(totals.max()) + n1) // 8192) * 8192)
@@ -353,26 +422,28 @@ class BatchDecoder:
                 (pcm, total, _), carry = decode_chunk_sharded(
                     self.mesh, self.cs, fr, carry, compact_cap=cap
                 )
-            elif compact == "host":
-                residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
-                dev = (jnp.asarray(residue), jnp.asarray(bb),
-                       jnp.asarray(ib), jnp.asarray(fb))
-                if buf is not None:
-                    h2d_refs[ci % 2] = dev
-                (pcm, _), carry = decode_chunk_batch_packed_i16(
-                    self.cs, *dev, shapes, carry,
-                )
             else:
                 residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
                 dev = (jnp.asarray(residue), jnp.asarray(bb),
                        jnp.asarray(ib), jnp.asarray(fb))
-                if buf is not None:
-                    h2d_refs[ci % 2] = dev
-                (pcm, total, _), carry = decode_chunk_batch_packed(
-                    self.cs, *dev, shapes, carry, cap,
-                )
+                if use_native:
+                    h2d_refs[gi % 2] = dev
+                if compact == "host":
+                    if N > 1:
+                        (pcm, _), carry = decode_chunks_scan_packed_i16(
+                            self.cs, *dev, shapes, carry)
+                    else:
+                        (pcm, _), carry = decode_chunk_batch_packed_i16(
+                            self.cs, *dev, shapes, carry)
+                else:
+                    if N > 1:
+                        (pcm, total), carry = decode_chunks_scan_packed(
+                            self.cs, *dev, shapes, carry, cap)
+                    else:
+                        (pcm, total, _), carry = decode_chunk_batch_packed(
+                            self.cs, *dev, shapes, carry, cap)
             # start the D2H stream now; it drains while the host entropy-
-            # decodes the next chunk (async dispatch does the same for the
+            # decodes the next group (async dispatch does the same for the
             # device compute)
             try:
                 pcm.copy_to_host_async()
@@ -382,9 +453,11 @@ class BatchDecoder:
             # the compacted slicing path regardless of `compact`
             host_lens = lens if (compact == "host"
                                  and self.mesh is None) else None
-            chunks.append((pcm, totals, host_lens))
-            # materialize the PREVIOUS chunk now (its async D2H had a full
-            # chunk's compute to drain): holding every chunk's device
+            chunks.append((pcm, totals.reshape(N, S),
+                           None if host_lens is None
+                           else host_lens.reshape(N, S, -1)))
+            # materialize the PREVIOUS group now (its async D2H had a full
+            # group's compute to drain): holding every group's device
             # array until the end grows HBM linearly with stream length
             if len(chunks) >= 2:
                 p_old, t_old, l_old = chunks[-2]
@@ -392,29 +465,32 @@ class BatchDecoder:
         # exact-size outputs, filled with one copy pass per chunk
         sums = np.zeros(S, np.int64)
         for _, totals, _ in chunks:
-            sums += totals
+            sums += totals.sum(axis=0)
         outs = [np.empty((int(sums[s]), C), np.int16) for s in range(S)]
         offs = np.zeros(S, np.int64)
         for pcm, totals, lens in chunks:
             a = np.asarray(pcm)  # (already streamed to host)
-            if lens is None:  # device-compacted [S, cap, C]
-                for s in range(S):
-                    n = int(totals[s])
-                    outs[s][int(offs[s]) : int(offs[s]) + n] = a[s, :n]
-            else:  # padded flat [S, T, C*outw]: slice + interleave here
-                T = a.shape[1]
-                a = a.reshape(S, T, C, -1)
-                # vectorized compaction: boolean-mask gather per stream
-                # pulls every valid sample (in packet order) out of the
-                # lazily-transposed [T, outw, C] view in ONE numpy op —
-                # the previous per-(s, t) Python slice loop was O(S*T)
-                # interpreter work on exactly the path meant to win on
-                # fast links (VERDICT r2 weak #5)
-                outw = a.shape[3]
-                keep = np.arange(outw)[None, :] < lens[:, :, None]  # [S,T,w]
-                for s in range(S):
-                    n = int(totals[s])
-                    outs[s][int(offs[s]) : int(offs[s]) + n] = \
-                        a[s].transpose(0, 2, 1)[keep[s]]
-            offs += totals
+            if a.ndim == len(totals.shape) + 1:  # single chunk: add N=1
+                a = a[None]
+            for n in range(totals.shape[0]):
+                an = a[n]
+                if lens is None:  # device-compacted [S, cap, C]
+                    for s in range(S):
+                        m = int(totals[n, s])
+                        outs[s][int(offs[s]) : int(offs[s]) + m] = an[s, :m]
+                else:  # padded flat [S, T, C*outw]: slice + interleave
+                    T = an.shape[1]
+                    an = an.reshape(S, T, C, -1)
+                    # vectorized compaction: boolean-mask gather per
+                    # stream pulls every valid sample (in packet order)
+                    # out of the lazily-transposed [T, outw, C] view in
+                    # ONE numpy op (VERDICT r2 weak #5)
+                    outw = an.shape[3]
+                    keep = (np.arange(outw)[None, :]
+                            < lens[n][:, :, None])  # [S, T, w]
+                    for s in range(S):
+                        m = int(totals[n, s])
+                        outs[s][int(offs[s]) : int(offs[s]) + m] = \
+                            an[s].transpose(0, 2, 1)[keep[s]]
+                offs += totals[n]
         return outs

@@ -30,7 +30,8 @@ from .models.decoder import (
     predict_out_lens,
 )
 from .ops.windowing import init_window_carry
-from .parallel.batch import decode_chunk_batch_packed, pack_frame_buffers
+from .parallel.batch import (decode_chunk_batch_packed,
+                             decode_chunks_scan_packed, pack_frame_buffers)
 
 __all__ = ["StreamingScheduler"]
 
@@ -61,7 +62,7 @@ class _Group:
     """All streams sharing one setup: one compiled batch, slotted state."""
 
     def __init__(self, ident_pck: bytes, setup_pck: bytes, capacity: int,
-                 chunk: int):
+                 chunk: int, scan: int = 1):
         from .header import read_header_setup
 
         ident = read_header_ident(ident_pck)
@@ -70,6 +71,7 @@ class _Group:
                                 raw_headers=(ident_pck, setup_pck))
         self.cs = self.sd.cs
         self.chunk = chunk
+        self.scan = max(1, scan)
         self.capacity = capacity
         C, W = self.cs.channels, self.cs.n1 // 2
         self.carry = jax.tree.map(
@@ -79,9 +81,10 @@ class _Group:
         self.started = np.zeros(capacity, bool)
         self.streams: dict[int, _StreamState] = {}  # slot -> state
         self.free = list(range(capacity))
-        #: persistent [S, T, ...] frame buffers (native front-end): the
-        #: shapes are fixed per group, so the host allocation happens once
-        self._fr: dict | None = None
+        #: persistent [N, S, T, ...] frame buffers per scan depth (native
+        #: front-end): shapes are fixed per group, so the host allocation
+        #: happens once per depth
+        self._fr: dict = {}
         #: dispatched-but-uncollected device steps: (device pcm, slice plan)
         self._inflight: list[tuple] = []
 
@@ -124,12 +127,19 @@ class _Group:
         if not self.pending():
             return
         S, T = self.capacity, self.chunk
-        batches: dict[int, list] = {}
+        # scan depth: dispatch N sub-chunks in one device call when the
+        # backlog justifies it (lax.scan chains the carry; the dispatch
+        # and device_put latency amortize over N). Two program shapes
+        # total: scan-N and per-chunk.
+        N = self.scan if self.scan > 1 and any(
+            len(s.packets) - s.fed > T for s in self.streams.values()) else 1
+        batches: dict[tuple[int, int], list] = {}  # (n, slot) -> packets
         for slot, st in self.streams.items():
-            batch = st.packets[st.fed : st.fed + T]
-            if batch:
-                batches[slot] = batch
-        # host entropy into [S, T, ...] frames (idle slots stay zero/invalid)
+            for n in range(N):
+                batch = st.packets[st.fed + n * T : st.fed + (n + 1) * T]
+                if batch:
+                    batches[(n, slot)] = batch
+        # host entropy into [N, S, T, ...] frames (idle slots stay invalid)
         from .parallel.batch import host_buffers_reusable
 
         if self.sd._native is not None:
@@ -137,42 +147,49 @@ class _Group:
                 # CPU backend zero-copy-aliases large host buffers into
                 # jax.Arrays: rewriting a buffer a dispatched step still
                 # reads would race, so allocate fresh per step there
-                fr = self.sd._native.frame_buffers(T, lead=(S,))
+                fr = self.sd._native.frame_buffers(T, lead=(N, S))
             else:
-                if self._fr is None:
-                    self._fr = self.sd._native.frame_buffers(T, lead=(S,))
+                if self._fr.get(N) is None:
+                    self._fr[N] = self.sd._native.frame_buffers(
+                        T, lead=(N, S))
                 # the previous step's H2D must finish before its host
                 # buffers are rewritten (put-ready == host buffer free on
                 # real devices)
                 for entry in self._inflight:
                     jax.block_until_ready(entry[2])
-                fr = self._fr
+                fr = self._fr[N]
                 # persistent buffer: stale frames from the previous step
                 # must not read as valid (untouched leaves are masked by
                 # this flag)
                 fr["valid"][...] = False
         else:
             zero = self.sd.entropy_chunk([])
-            fr = {k: np.zeros((S,) + v.shape, v.dtype)
+            fr = {k: np.zeros((N, S) + v.shape, v.dtype)
                   for k, v in zero.items()}
-        statuses: dict[int, np.ndarray] = {}
+        statuses: dict[tuple[int, int], np.ndarray] = {}
         if self.sd._native is not None:
-            # ONE native call entropy-decodes the whole group (std::thread
-            # workers across slots when multi-core) — the per-slot Python
-            # loop re-entered ctypes per stream (VERDICT r2 weak #3)
-            by_slot = [[p.data for p in batches[slot]] if slot in batches
-                       else [] for slot in range(S)]
-            status_all = self.sd._native.decode_chunk_batch(
-                by_slot, T, fr, threads=min(8, _os.cpu_count() or 1))
-            for slot, batch in batches.items():
-                statuses[slot] = status_all[slot, : len(batch)]
+            # ONE native call per sub-chunk entropy-decodes the whole
+            # group (std::thread workers across slots when multi-core) —
+            # a per-slot Python loop re-entered ctypes per stream
+            # (VERDICT r2 weak #3)
+            for n in range(N):
+                by_slot = [[p.data for p in batches[(n, slot)]]
+                           if (n, slot) in batches else []
+                           for slot in range(S)]
+                view = {k: v[n] for k, v in fr.items()}
+                status_all = self.sd._native.decode_chunk_batch(
+                    by_slot, T, view, threads=min(8, _os.cpu_count() or 1))
+                for slot in range(S):
+                    if (n, slot) in batches:
+                        statuses[(n, slot)] = \
+                            status_all[slot, : len(batches[(n, slot)])]
         else:
-            for slot, batch in batches.items():
+            for (n, slot), batch in batches.items():
                 data = [p.data for p in batch]
-                view = {k: v[slot] for k, v in fr.items()}
+                view = {k: v[n, slot] for k, v in fr.items()}
                 _, status = self.sd.entropy_chunk_status(data, out=view)
-                statuses[slot] = status[: len(batch)]
-        for slot, status in statuses.items():
+                statuses[(n, slot)] = status[: len(batch)]
+        for (n, slot), status in statuses.items():
             if (status != 0).any():
                 # The device overlap-add treats invalid slots as a chunk
                 # SUFFIX (ops/windowing.py pwr shift); compact good frames
@@ -180,47 +197,63 @@ class _Group:
                 # next packet garbage carry.
                 good = np.flatnonzero(status == 0)
                 for k, v in fr.items():
-                    v[slot, : len(good)] = v[slot][good]
-                    v[slot, len(good):] = 0
-        lens, self.started = predict_out_lens(self.cs, fr, self.started)
+                    v[n, slot, : len(good)] = v[n, slot][good]
+                    v[n, slot, len(good):] = 0
+        lens = np.zeros((N, S, T), np.int64)
+        for n in range(N):
+            lens[n], self.started = predict_out_lens(
+                self.cs, {k: v[n] for k, v in fr.items()}, self.started)
         cap = int(-(-(int(lens.sum(-1).max()) + self.cs.n1) // 8192) * 8192)
-        residue, bb, ib, fb, shapes = pack_frame_buffers(fr)
+        fr_dev = fr if N > 1 else {k: v[0] for k, v in fr.items()}
+        residue, bb, ib, fb, shapes = pack_frame_buffers(fr_dev)
         dev = (jnp.asarray(residue), jnp.asarray(bb), jnp.asarray(ib),
                jnp.asarray(fb))
-        (pcm, total, _), self.carry = decode_chunk_batch_packed(
-            self.cs, *dev, shapes, self.carry, cap,
-        )
+        if N > 1:
+            (pcm, total), self.carry = decode_chunks_scan_packed(
+                self.cs, *dev, shapes, self.carry, cap,
+            )
+        else:
+            (pcm, total, _), self.carry = decode_chunk_batch_packed(
+                self.cs, *dev, shapes, self.carry, cap,
+            )
         # start the D2H stream now; it drains while later steps dispatch
         try:
             pcm.copy_to_host_async()
         except Exception:  # noqa: BLE001 — backend without async copy
             pass
-        # bookkeeping + PCM slice plan (needs only lengths, not bytes)
-        plan: list[tuple] = []  # (stream, slot, pos, keep)
-        for slot, batch in batches.items():
-            st = self.streams[slot]
-            status = statuses[slot]
-            pos = 0
-            j = 0  # compacted frame position (valid frames only)
-            for t, pck in enumerate(batch):
-                if status[t] != 0:
-                    st.errors.append((
-                        st.fed + t,
-                        "header packet in audio stream" if status[t] == 1
-                        else "undecodable audio packet",
-                    ))
-                    continue  # no PCM; window state untouched
-                n = int(lens[slot, j])
-                j += 1
-                keep = self._apply_absgp(st, pck, n)
-                if keep:
-                    plan.append((st, slot, pos, keep))
-                pos += n
-            st.fed += len(batch)
+        # bookkeeping + PCM slice plan (needs only lengths, not bytes).
+        # Sub-chunks advance a stream's packets in time order (n outer).
+        plan: list[tuple] = []  # (stream, slot, n, pos, keep)
+        for slot, st in list(self.streams.items()):
+            consumed = 0
+            for n in range(N):
+                batch = batches.get((n, slot))
+                if not batch:
+                    continue
+                status = statuses[(n, slot)]
+                pos = 0
+                j = 0  # compacted frame position (valid frames only)
+                for t, pck in enumerate(batch):
+                    if status[t] != 0:
+                        st.errors.append((
+                            st.fed + consumed + t,
+                            "header packet in audio stream"
+                            if status[t] == 1
+                            else "undecodable audio packet",
+                        ))
+                        continue  # no PCM; window state untouched
+                    m = int(lens[n, slot, j])
+                    j += 1
+                    keep = self._apply_absgp(st, pck, m)
+                    if keep:
+                        plan.append((st, slot, n, pos, keep))
+                    pos += m
+                consumed += len(batch)
+            st.fed += consumed
             if st.fed >= len(st.packets) and st.packets and \
                     st.packets[-1].last_in_stream:
                 st.done = True
-        for st_, _, _, _ in plan:
+        for st_, _, _, _, _ in plan:
             st_.inflight += 1
         self._inflight.append((pcm, plan, dev))
 
@@ -229,9 +262,11 @@ class _Group:
         (the pipeline depth) unless ``drain`` is set."""
         while self._inflight and (drain or len(self._inflight) > 1):
             pcm, plan, _ = self._inflight.pop(0)
-            pcm = np.asarray(pcm)  # [S, cap, C] i16
-            for st, slot, pos, keep in plan:
-                st.out.append(pcm[slot, pos : pos + keep])
+            pcm = np.asarray(pcm)  # [S, cap, C] or [N, S, cap, C] i16
+            if pcm.ndim == 3:
+                pcm = pcm[None]
+            for st, slot, n, pos, keep in plan:
+                st.out.append(pcm[n, slot, pos : pos + keep])
                 st.inflight -= 1
 
     @staticmethod
@@ -252,9 +287,11 @@ class _Group:
 class StreamingScheduler:
     """Register Ogg Vorbis streams, step the device, poll PCM per stream."""
 
-    def __init__(self, capacity: int = 16, chunk: int = 16):
+    def __init__(self, capacity: int = 16, chunk: int = 16, scan: int = 1):
         self.capacity = capacity
         self.chunk = chunk
+        #: sub-chunks per device dispatch when backlogs allow (lax.scan)
+        self.scan = scan
         #: (ident-bytes, setup-bytes) -> list of groups (a new group spins
         #: up — one more compiled batch of the same program shape — when all
         #: are full). Keyed by BOTH header packets: byte-identical setups
@@ -270,7 +307,8 @@ class StreamingScheduler:
         for grp in lst:
             if grp.free:
                 return grp
-        grp = _Group(ident_pck, setup_pck, self.capacity, self.chunk)
+        grp = _Group(ident_pck, setup_pck, self.capacity, self.chunk,
+                     self.scan)
         lst.append(grp)
         return grp
 

@@ -101,6 +101,25 @@ def test_decode_streams_i16_host_compaction(corpus_dir):
         assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
 
 
+def test_decode_streams_i16_scan_matches_per_chunk(corpus_dir):
+    """scan=N group dispatch (decode_chunks_scan_packed*) must bit-match
+    the per-chunk path on BOTH compaction modes, including the short tail
+    that falls back to per-chunk dispatch."""
+    path = os.path.join(corpus_dir, "stereo_44k_q3.ogg")
+    headers, pcks = _audio_packets(path)
+    pcks = pcks[:56]  # 4 chunks of 16 -> one scan-3 group + tail chunks
+    for compact in ("device", "host"):
+        base = BatchDecoder(headers.ident, headers.setup, chunk=16
+                            ).decode_streams_i16([pcks, pcks],
+                                                 compact=compact)
+        scanned = BatchDecoder(headers.ident, headers.setup, chunk=16,
+                               scan=3).decode_streams_i16([pcks, pcks],
+                                                          compact=compact)
+        for x, y in zip(base, scanned):
+            assert x.shape == y.shape
+            np.testing.assert_array_equal(x, y)
+
+
 def test_decode_chunks_scan_matches_sequential():
     """N-chunk scan dispatch == N sequential chunk dispatches, bit for
     bit (same core per step; the scan only batches the dispatches)."""

@@ -239,3 +239,27 @@ def test_remove_pending_stream():
     sched.remove_stream("half")
     assert "half" not in sched.pending
     sched.add_stream("half")           # id reusable after removal
+
+
+def test_scheduler_scan_matches_per_chunk(corpus_dir):
+    """scan=N (N sub-chunks per device dispatch via lax.scan) must
+    bit-match the per-chunk scheduler, including tail steps that fall
+    back to single-chunk dispatch and error bookkeeping offsets."""
+    files = {"a": "stereo_44k_q3.ogg", "b": "mono_8k_q-1.ogg"}
+    outs = {}
+    for scan in (1, 3):
+        sched = StreamingScheduler(capacity=2, chunk=16, scan=scan)
+        for sid, name in files.items():
+            with open(os.path.join(corpus_dir, name), "rb") as f:
+                sched.add_stream(sid, f.read())
+        got = {sid: [] for sid in files}
+        while sched.step():
+            for sid in files:
+                got[sid].append(sched.poll(sid))
+        for sid in files:
+            got[sid].append(sched.poll(sid))
+            assert sched.is_done(sid)
+        outs[scan] = {sid: np.concatenate(got[sid], axis=0)
+                      for sid in files}
+    for sid in files:
+        np.testing.assert_array_equal(outs[1][sid], outs[3][sid])
