@@ -52,6 +52,19 @@ VMEM_OPERAND_BUDGET = 6 * 1024 * 1024  # bytes of resident operand blocks
 #   per grid step; leaves ~2x headroom in ~16 MiB VMEM for the kernel's
 #   concat/select temporaries (measured safe at the production shape)
 
+# ---------------------------------------------------------------------- #
+# Intra-kernel bisection knobs (tools/bisect_overlap.py). TIMING ONLY:
+# each knocks one phase of the x_rep kernel out, BREAKING numerics, to
+# attribute chunk time inside the kernel (jax.clear_caches() required
+# after flipping). Never enabled by library code or tests.
+# ---------------------------------------------------------------------- #
+_B_NO_FLIP = False    # feed X itself as "rev(X)" (skip the XLA flip pass)
+_B_NO_LS = False      # skip the lapped-start (ls) window variant
+_B_NO_SHORT = False   # skip the short-block assembly/selects
+_B_NO_MIX = False     # skip the window mix FMA (out = a_cur)
+_B_NO_PWRSEL = False  # previous-row region select -> pwr0 broadcast
+_B_NO_CARRY = False   # skip the carry (pwr_out) computation
+
 
 def _max_block_rows(n0: int, n1: int) -> int:
     """Largest packet-row block R (multiple of 16, <= MAX_ROWS) whose
@@ -338,7 +351,8 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
     # the reversed form reuses xcr and reverses only the one extra row
     xp = jnp.concatenate([xp_last, xc[: R - 1]], axis=0)
     xpr = jnp.concatenate([xp_last_rev, xcr[: R - 1]], axis=0)
-    if has_short:
+    use_short = has_short and not _B_NO_SHORT  # bisect knob (timing only)
+    if use_short:
         xs = sa_ref[0]                    # [R, m] current short X
         xsp_last = sb_ref[0, R - 1 : R, :]
         if pre_rev:
@@ -352,13 +366,13 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
 
     # ---- current row: a_cur = audio[ls or 0 : +outw] ----
     audio0 = jnp.concatenate([xc[:, M // 2 :], -xcr], axis=1)   # [R, outw]
-    if ls:
+    if ls and not _B_NO_LS:
         audio_ls = jnp.concatenate(
             [xc[:, M // 2 + ls :], -xcr, -xc[:, :ls]], axis=1)
         a_long = jnp.where(ls_on > 0, audio_ls, audio0)
     else:
         a_long = audio0
-    if has_short:
+    if use_short:
         a_short = jnp.concatenate(
             [xs[:, m // 2 :], -xsr, -xs[:, : m // 2],
              jnp.zeros((R, outw - 2 * m), jnp.float32)], axis=1)
@@ -373,16 +387,21 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
         [-xpr[:, M - m // 2 :], -xp[:, : m // 2]], axis=1)       # [R, m]
     cand_s = (jnp.concatenate(
         [-xspr[:, m // 2 :], -xsp[:, : m // 2]], axis=1)
-        if has_short else cand_m)
+        if use_short else cand_m)
     pwr_sm = jnp.where(pl_is_m > 0, cand_m, cand_s)
     if m < W:
         pwr_sm = jnp.concatenate(
             [pwr_sm, jnp.zeros((R, W - m), jnp.float32)], axis=1)
     pwr = jnp.where(pl_is_l > 0, cand_l, pwr_sm)
     pwr = jnp.where(is_t0 > 0, pwr0_ref[0], pwr)
+    if _B_NO_PWRSEL:  # bisect knob (timing only)
+        pwr = jnp.broadcast_to(pwr0_ref[0], (R, W))
 
-    mix = jnp.where(iota_w < ov_len,
-                    a_cur[:, :W] * lhs + pwr * rhs, a_cur[:, :W])
+    if _B_NO_MIX:  # bisect knob (timing only)
+        mix = a_cur[:, :W]
+    else:
+        mix = jnp.where(iota_w < ov_len,
+                        a_cur[:, :W] * lhs + pwr * rhs, a_cur[:, :W])
     full = jnp.concatenate([mix, a_cur[:, W:]], axis=1)
     outf = jnp.where(iota_ow < out_len, full, jnp.float32(0.0))
     scaled = outf * jnp.float32(32768.0)
@@ -399,12 +418,16 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
         [-xcr[:, M - m // 2 :], -xc[:, : m // 2]], axis=1)       # [R, m]
     rr_s = (jnp.concatenate(
         [-xsr[:, m // 2 :], -xs[:, : m // 2]], axis=1)
-        if has_short else rr_m)
+        if use_short else rr_m)
     rr_sm = jnp.where(cur_is_m > 0, rr_m, rr_s)
     if m < W:
         rr_sm = jnp.concatenate(
             [rr_sm, jnp.zeros((R, W - m), jnp.float32)], axis=1)
     rr = jnp.where(cur_is_l > 0, rr_l, rr_sm)
+
+    if _B_NO_CARRY:  # bisect knob (timing only)
+        pwr_out_ref[0, 0, :] = pwr0_ref[0, 0, :]
+        return
 
     first_blk = sc_ref[0, 5] > 0
 
@@ -476,9 +499,12 @@ def overlap_i16_pallas(
     pre_rev = bool(PRE_REV and x_rep and not x_split)
     long_rev = short_rev = None
     if pre_rev:
-        long_rev = jnp.flip(long_audio, axis=-1)
-        if short_audio is not None:
-            short_rev = jnp.flip(short_audio, axis=-1)
+        if _B_NO_FLIP:  # bisect knob (timing only): skip the flip pass
+            long_rev, short_rev = long_audio, short_audio
+        else:
+            long_rev = jnp.flip(long_audio, axis=-1)
+            if short_audio is not None:
+                short_rev = jnp.flip(short_audio, axis=-1)
     if pad:
         if x_split:
             lu = jnp.pad(lu, [(0, 0), (0, pad), (0, 0)])
