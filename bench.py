@@ -42,12 +42,13 @@ def main() -> None:
     ap.add_argument("--imdct-precision", default=None,
                     choices=["default", "high3", "high", "highest"])
     ap.add_argument(
-        "--scan", type=int, default=8, metavar="N",
+        "--scan", type=int, default=None, metavar="N",
         help="decode N chunks per device dispatch via lax.scan "
         "(parallel/batch.decode_chunks_scan) — amortizes dispatch latency. "
-        "Default 8: r4 sweep measured {0: 37.8k, 2: 37.7k, 4: 39.5k, "
-        "8: 40.1k}x on the chip (interleaved A/B x2, parity-tested). "
-        "0 = single-chunk dispatch",
+        "Default: auto — 8 for synthesis/e2e (r4 sweep: {0: 37.8k, 2: "
+        "37.7k, 4: 39.5k, 8: 40.1k}x, and e2e 66.8 vs 45.8x on the clean "
+        "rep), 1 for serve (its short per-step backlogs make cap-padded "
+        "scan D2H a net loss: 70x -> 62x measured). 0 = single-chunk",
     )
     ap.add_argument(
         "--dct4-split", action="store_true",
@@ -72,6 +73,8 @@ def main() -> None:
         "native lt_decode_chunk batch path (no device, no transfers)",
     )
     args = ap.parse_args()
+    if args.scan is None:  # auto per surface (see --scan help)
+        args.scan = 1 if args.serve else 8
     if args.frontend:
         # host-only surface: never touch the device (StreamDecoder's setup
         # tables would otherwise dial the TPU tunnel just to be discarded)

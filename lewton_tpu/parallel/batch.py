@@ -371,11 +371,16 @@ class BatchDecoder:
         )
         started = np.zeros(S, bool)
         n_chunks = -(-max_t // self.chunk)
-        # groups of chunk indices: full scan-N groups + a per-chunk tail
+        # groups of chunk indices: power-of-two descent (8,8,4,2,1-style)
+        # so the tail amortizes too without padding — padded tail chunks
+        # would ship S*cap*C i16 of pure padding each through the D2H
+        # link; at most log2(scan)+1 program shapes compile
         groups: list[list[int]] = []
         ci = 0
         while ci < n_chunks:
-            n = scan if ci + scan <= n_chunks else 1
+            n = 1 << (scan.bit_length() - 1)  # largest pow2 <= scan
+            while n > 1 and ci + n > n_chunks:
+                n //= 2
             groups.append(list(range(ci, ci + n)))
             ci += n
         #: per dispatched group: (pcm [N,S,...], totals [N,S], lens|None)
