@@ -57,6 +57,14 @@ def main() -> None:
         "and gate any default flip on --check",
     )
     ap.add_argument(
+        "--rev", default=None, choices=["pre", "mxu", "roll"],
+        help="x_rep lane-reversal scheme in the overlap kernel: 'pre' = "
+        "XLA flip(X) fed as extra operands (one HBM pass), 'mxu' = "
+        "in-kernel anti-identity permutation dot (u8-limb exact), "
+        "'roll' = in-kernel VPU XOR-exchange network. Default: module "
+        "knobs in ops/overlap_kernel.py",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="StreamingScheduler throughput: --streams live streams fed "
         "incrementally, aggregate x-realtime polled to completion",
@@ -90,6 +98,11 @@ def main() -> None:
             _im.PRECISION = args.imdct_precision
         if args.dct4_split:
             _im.USE_DCT4_SPLIT = True
+    if args.rev:
+        import lewton_tpu.ops.overlap_kernel as _ok
+
+        _ok.REV_MXU = args.rev == "mxu"
+        _ok.PRE_REV = args.rev == "pre"
     if args.check:
         check_conformance(args)
         return

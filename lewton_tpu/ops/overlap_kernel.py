@@ -43,9 +43,19 @@ __all__ = ["overlap_i16_pallas", "pallas_overlap_supported",
 MAX_ROWS = 128  # packets per grid step (s16 sublane tile is 16;
 #   bigger blocks amortize per-step overhead — measured 16->128: +15%)
 
-PRE_REV = True  # x_rep path: feed XLA-computed flip(X) as an extra
+PRE_REV = True  # x_rep fallback when REV_MXU is off (or the width is
+#   not lane-aligned): feed XLA-computed flip(X) as an extra
 #   operand instead of reversing lanes in-kernel (A/B knob; see
 #   _kernel_x docstring and PERF.md r3)
+
+REV_MXU = True  # x_rep path: reverse lanes IN-KERNEL on the MXU
+#   (anti-identity permutation dot, exact u8-limb split — see
+#   _rev_lanes_mxu). Skips pre_rev's whole-tensor XLA flip pass (the
+#   single biggest phase in the r4 bisection: ~1.9 ms/chunk of HBM
+#   traffic) AND the _rev_lanes roll network (2.6 ms of VPU shuffles)
+#   by spending otherwise-idle MXU time instead. Takes precedence over
+#   PRE_REV when set. DEFAULT ON: interleaved A/B x3 on chip measured
+#   47.6k vs 40.3k (+18.2%) at scan-8/S=256/T=128; gate green (r4).
 
 
 VMEM_OPERAND_BUDGET = 6 * 1024 * 1024  # bytes of resident operand blocks
@@ -222,6 +232,59 @@ def _rev_lanes(x, L: int):
     return x
 
 
+def _rev_lanes_mxu(x, L: int):
+    """Exact reversal of the last dim (size L, multiple of 128) via the
+    MXU: per-128-lane group, rev(x) = x_g @ J (J the 128x128
+    anti-identity), with groups concatenated in reversed order (static
+    lane slices — no shuffle network).
+
+    Bit-exact for EVERY f32 bit pattern (subnormals, signed zeros,
+    inf, NaN payloads): the f32 bits are decomposed into four u8
+    limbs, each converted to f32/bf16 (integers <= 255 are exact in
+    bf16), permuted on the MXU (J's entries are 0/1, so every output
+    element is a single exact product — no accumulation rounding),
+    and reassembled into the u32 bit pattern. Pure data movement.
+    Asserted bit-identical to jnp.flip by tests/test_overlap_kernel.py.
+    (A 3-limb mantissa-truncation FLOAT split was tried first: it
+    loses bits once the low limb lands in the f32 subnormal range,
+    where the missing implicit bit leaves >8 significant bits.)
+
+    All integer work is int32: Mosaic has no u32<->f32 converts
+    (NotImplementedError at lowering), but s32->f32 / f32->s32 are
+    native. Arithmetic-shift-right + 0xFF mask extracts the same limb
+    bits a logical shift would, and the <<24 reassembly is a bitwise
+    OR into the sign byte, which the final bitcast reinterprets.
+
+    Why: Mosaic has no lane gather/reverse; the roll-network
+    (:func:`_rev_lanes`) costs log2(L) VPU exchange stages (~2.6
+    ms/chunk at W=1024) and the XLA-side flip (PRE_REV) costs a full
+    HBM round trip (~1.9 ms/chunk). The MXU does the permutation in
+    otherwise-idle matrix-unit time."""
+    assert L % 128 == 0, L
+    u = jax.lax.bitcast_convert_type(x, jnp.int32)
+    limbs = [
+        ((u >> jnp.int32(8 * k)) & jnp.int32(0xFF))
+        .astype(jnp.float32).astype(jnp.bfloat16)
+        for k in range(4)
+    ]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    J = jnp.where(rr + cc == 127, jnp.float32(1.0),
+                  jnp.float32(0.0)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    outs = []
+    for g in range(L // 128 - 1, -1, -1):
+        seg = slice(g * 128, (g + 1) * 128)
+        w = None
+        for k, lim in enumerate(limbs):
+            p = jax.lax.dot_general(lim[:, seg], J, dn,
+                                    preferred_element_type=jnp.float32)
+            b = p.astype(jnp.int32) << jnp.int32(8 * k)
+            w = b if w is None else w | b
+        outs.append(jax.lax.bitcast_convert_type(w, jnp.float32))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _shuffle_zip(x, L: int):
     """Perfect shuffle of the last dim (size L = 2H, power of two):
     out[2j] = x[j], out[2j+1] = x[H+j]. The index map is a 1-bit rotation,
@@ -258,7 +321,7 @@ def _combine_split(p, L: int):
 
 
 def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
-              pre_rev=False):
+              pre_rev=False, rev_mxu=False):
     """X-representation variant of :func:`_kernel`: inputs are the
     half-width DCT-IV outputs (see ops/imdct.dct4_batch_parts_ct), and
     every window region is reconstructed in VMEM from
@@ -281,6 +344,11 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
     # pre_rev's short-ref parse below would misread the ref list under
     # split_in (overlap_i16_pallas forces pre_rev off when x_split)
     assert not (pre_rev and split_in), "pre_rev is incompatible with split_in"
+    assert not (pre_rev and rev_mxu), "rev_mxu supersedes pre_rev"
+    # in-kernel reversal: MXU permutation dot when the width allows it,
+    # else the VPU roll network (both bit-exact)
+    _rev = (lambda x, L: _rev_lanes_mxu(x, L) if (rev_mxu and L % 128 == 0)
+            else _rev_lanes(x, L))
     it = iter(refs)
     if split_in:
         xu_ref = next(it)
@@ -344,8 +412,8 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
         xcr = xar_ref[0]
         xp_last_rev = xbr_ref[0, R - 1 : R, :]
     else:
-        xcr = _rev_lanes(xc, M)
-        xp_last_rev = _rev_lanes(xp_last, M)
+        xcr = _rev(xc, M)
+        xp_last_rev = _rev(xp_last, M)
     # previous packet's X rows: last row of the block-shifted view for
     # row 0, in-block neighbor otherwise (same structure as _kernel);
     # the reversed form reuses xcr and reverses only the one extra row
@@ -359,8 +427,8 @@ def _kernel_x(*refs, n0, n1, R, has_short, has_prev_view, split_in=False,
             xsr = sar_ref[0]
             xsp_last_rev = sbr_ref[0, R - 1 : R, :]
         else:
-            xsr = _rev_lanes(xs, m)
-            xsp_last_rev = _rev_lanes(xsp_last, m)
+            xsr = _rev(xs, m)
+            xsp_last_rev = _rev(xsp_last, m)
         xsp = jnp.concatenate([xsp_last, xs[: R - 1]], axis=0)
         xspr = jnp.concatenate([xsp_last_rev, xsr[: R - 1]], axis=0)
 
@@ -496,7 +564,8 @@ def overlap_i16_pallas(
     # once (a single HBM pass over [C, T, W]) and the kernel reads it as
     # an extra operand — cheaper than the in-kernel roll/select network
     # (10 XOR-exchange stages at W=1024, measured 2.6 ms/chunk)
-    pre_rev = bool(PRE_REV and x_rep and not x_split)
+    rev_mxu = bool(REV_MXU and x_rep and not x_split)
+    pre_rev = bool(PRE_REV and x_rep and not x_split and not rev_mxu)
     long_rev = short_rev = None
     if pre_rev:
         if _B_NO_FLIP:  # bisect knob (timing only): skip the flip pass
@@ -525,7 +594,8 @@ def overlap_i16_pallas(
                              R=R, has_short=has_short,
                              has_prev_view=has_prev_view,
                              **({"split_in": True} if x_split else {}),
-                             **({"pre_rev": True} if pre_rev else {}))
+                             **({"pre_rev": True} if pre_rev else {}),
+                             **({"rev_mxu": True} if rev_mxu else {}))
     w1, w0 = (n1 // 2, n0 // 2) if x_rep else (n1, n0)
     spec_cur = lambda w: pl.BlockSpec(  # noqa: E731
         (1, R, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)

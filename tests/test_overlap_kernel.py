@@ -209,6 +209,67 @@ def test_pallas_kernel_x_rep_variant():
             assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_rev_lanes_mxu_bit_exact():
+    """_rev_lanes_mxu == jnp.flip bit for bit on arbitrary f32 BIT
+    PATTERNS — the u8-limb decomposition is pure data movement, so
+    subnormals, signed zeros and huge magnitudes all survive."""
+    from lewton_tpu.ops.overlap_kernel import _rev_lanes_mxu
+
+    rng = np.random.default_rng(7)
+    for L in (128, 256, 1024):
+        parts = [
+            rng.standard_normal((4, L)).astype(np.float32),
+            (rng.standard_normal((4, L)) * 1e30).astype(np.float32),
+            (rng.standard_normal((4, L)) * 1e-30).astype(np.float32),
+            (rng.standard_normal((4, L)) * 1e-40).astype(np.float32),
+            rng.integers(-(2**24), 2**24, (4, L)).astype(np.float32),
+            np.where(rng.integers(0, 2, (4, L)) > 0,
+                     np.float32(-0.0), np.float32(0.0)),
+        ]
+        x = np.concatenate(parts, axis=0)
+        got = np.asarray(jax.jit(
+            lambda v: _rev_lanes_mxu(v, L))(jnp.asarray(x)))
+        want = x[:, ::-1]
+        assert got.dtype == np.float32
+        assert np.array_equal(
+            got.view(np.uint32), want.view(np.uint32))  # bitwise
+
+
+def test_pallas_kernel_x_rep_rev_mxu_bit_identical(monkeypatch):
+    """REV_MXU in-kernel MXU reversal == the PRE_REV (XLA flip) kernel,
+    bit for bit (i16 out, out_len, f32 carry) — both are exact reversals
+    feeding the identical mix arithmetic."""
+    import lewton_tpu.ops.overlap_kernel as ok
+
+    rng = np.random.default_rng(12)
+    s0, s1 = _slopes()
+    M, m = N1 // 2, N0 // 2
+    for T in (16, 48):
+        (_, bf, pf, nf, v), carry = _rand_case(rng, T)
+        x1 = jnp.asarray((rng.standard_normal((T, C, M)) * 0.5)
+                         .astype(np.float32))
+        x0 = jnp.asarray((rng.standard_normal((T, C, m)) * 0.5)
+                         .astype(np.float32))
+
+        def run():
+            jax.clear_caches()  # kernel closure reads module knobs
+            return jax.jit(
+                lambda la, sa, b, p, n, vv, c:
+                overlap_add_i16_kernel_batch(
+                    (la, sa), b, p, n, vv, s0, s1, N0, N1, c, x_rep=True,
+                    interpret=True))(x1, x0, bf, pf, nf, v, carry)
+
+        monkeypatch.setattr(ok, "REV_MXU", False)
+        (out_a, len_a), car_a = run()
+        monkeypatch.setattr(ok, "REV_MXU", True)
+        (out_b, len_b), car_b = run()
+        assert np.array_equal(np.asarray(out_a), np.asarray(out_b))
+        assert np.array_equal(np.asarray(len_a), np.asarray(len_b))
+        for xa, xb in zip(car_a, car_b):
+            assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    jax.clear_caches()
+
+
 def test_read_all_i16_jax_matches_f32_path(tmp_path):
     """read_all_i16 (device i16 path) vs to_i16(read_all_planar_f32)."""
     pytest.importorskip("lewton_tpu.native")
