@@ -45,9 +45,10 @@ def main() -> None:
         "--scan", type=int, default=None, metavar="N",
         help="decode N chunks per device dispatch via lax.scan "
         "(parallel/batch.decode_chunks_scan) — amortizes dispatch latency. "
-        "Default: auto — 8 for synthesis/e2e (r4 sweep: {0: 37.8k, 2: "
-        "37.7k, 4: 39.5k, 8: 40.1k}x, and e2e 66.8 vs 45.8x on the clean "
-        "rep), 1 for serve (its short per-step backlogs make cap-padded "
+        "Default: auto — 16 for synthesis (r4 sweeps: {0: 37.8k, 2: "
+        "37.7k, 4: 39.5k, 8: 40.1k}x pre-REV_MXU; {8: 47.7k, 16: 48.2k}x "
+        "after), 8 for e2e (66.8 vs 45.8x at scan 1 on the clean rep), "
+        "1 for serve (its short per-step backlogs make cap-padded "
         "scan D2H a net loss: 70x -> 62x measured). 0 = single-chunk",
     )
     ap.add_argument(
@@ -82,7 +83,7 @@ def main() -> None:
     )
     args = ap.parse_args()
     if args.scan is None:  # auto per surface (see --scan help)
-        args.scan = 1 if args.serve else 8
+        args.scan = 1 if args.serve else (8 if args.e2e else 16)
     if args.frontend:
         # host-only surface: never touch the device (StreamDecoder's setup
         # tables would otherwise dial the TPU tunnel just to be discarded)

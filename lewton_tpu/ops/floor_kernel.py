@@ -45,6 +45,19 @@ __all__ = ["floor_spectra_pallas", "pallas_floor_supported"]
 
 MAX_ROWS = 64  # packets per grid step: 4 telescopes x 2 limbs x 64 = 512 MXU rows (measured best)
 
+# ---------------------------------------------------------------------- #
+# Intra-kernel bisection knobs (tools/bisect_floor.py). TIMING ONLY:
+# each replaces one phase of the kernel with a near-free stand-in,
+# BREAKING numerics, to attribute chunk time inside the kernel
+# (jax.clear_caches() required after flipping). Never enabled by
+# library code or tests.
+# ---------------------------------------------------------------------- #
+_B_NO_FOLD = False  # skip the mode one-hot fold + 2-limb bf16 split
+_B_NO_GEMM = False  # skip the bracket GEMM (broadcast a column instead)
+_B_NO_BRES = False  # skip the Bresenham render (clip lo_y instead)
+_B_NO_DB = False  # skip the inverse-dB two-factor select (scale instead)
+_B_NO_COUPLE = False  # skip inverse coupling
+
 
 def pallas_floor_supported(cs, T: int) -> bool:
     """Gate: floor1-only setups with static coupling and lane-aligned
@@ -88,6 +101,12 @@ def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
         rows = []
         for q in range(4):
             v = tele_ref[:, (c * 4 + q) * P1 : (c * 4 + q + 1) * P1]
+            if _B_NO_FOLD:  # bisect stand-in: no fold, no limb split
+                seg = jnp.concatenate(
+                    [v, jnp.zeros((R, Kp - P1), jnp.float32)], axis=1)
+                s1 = seg.astype(jnp.bfloat16)
+                rows += [s1, s1]
+                continue
             # mode one-hot fold into the M*P1 segment layout
             seg = jnp.concatenate(
                 [v * jnp.where(mode == m, jnp.float32(1.0), jnp.float32(0.0))
@@ -101,8 +120,12 @@ def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
             s2 = (seg - s1.astype(jnp.float32)).astype(jnp.bfloat16)
             rows += [s1, s2]
         lhs = jnp.concatenate(rows, axis=0)  # bf16 [8R, Kp]
-        outg = jnp.dot(lhs, step_ref[c],
-                       preferred_element_type=jnp.float32)  # [8R, W]
+        if _B_NO_GEMM:  # bisect stand-in: broadcast one column
+            outg = jnp.broadcast_to(
+                lhs[:, :1].astype(jnp.float32), (8 * R, W))
+        else:
+            outg = jnp.dot(lhs, step_ref[c],
+                           preferred_element_type=jnp.float32)  # [8R, W]
         br = [outg[2 * q * R : (2 * q + 1) * R]
               + outg[(2 * q + 1) * R : (2 * q + 2) * R] for q in range(4)]
         lo_x, lo_y, gxc, gyc = br
@@ -117,15 +140,19 @@ def _kernel(*refs, C, W, P1, M, R, Kp, steps, ct_out, cd_n):
 
         # ---- exact f32 Bresenham + inverse-dB exp (the ONE shared
         # copy of the numerics contract: floor_curve.bresenham_idx) ----
-        curve = floor1_db_value(
-            bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f))
+        if _B_NO_BRES:  # bisect stand-in: clip only
+            idx = jnp.clip(lo_y, jnp.float32(0.0), jnp.float32(255.0))
+        else:
+            idx = bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f)
+        curve = idx * jnp.float32(1e-3) if _B_NO_DB \
+            else floor1_db_value(idx)
         used = sc_ref[:, 1 + c : 2 + c]  # f32 0/1
         curves.append(curve * used)
         r = res_ref[:, c * W : (c + 1) * W]
         res.append(r.astype(jnp.float32) if r.dtype != jnp.float32 else r)
 
     # ---- inverse coupling (static steps, reverse order) ----
-    for mag, ang in reversed(steps):
+    for mag, ang in reversed(steps) if not _B_NO_COUPLE else ():
         m = res[mag]
         a = res[ang]
         mpos = m > 0
