@@ -36,13 +36,25 @@ __all__ = [
 
 BIG_X = jnp.int32(1 << 24)  # sentinel "no post here" x position
 
+DB_FOUR_FACTOR = True  # A/B knob (r4): False = legacy 16x16 two-factor
+#   selects (floor1_db_two_factor). Both meet the same 2-ulp contract;
+#   the 4-factor form costs 12 where()s instead of 30.
 
-def floor1_db_value(idx: jnp.ndarray) -> jnp.ndarray:
-    """Inverse-dB table value for integer-valued f32 idx in [0, 255],
-    evaluated as HI[idx >> 4] * LO[idx & 15] via 32 fused compare-selects
-    (tables.floor1_db_two_factor, max 2 ulp). Replaces the closed-form
-    exp(), which is ~51 ulp off on the TPU VPU — up to 11 i16 LSB on
-    full-scale adversarial spectra (crafted on-chip conformance)."""
+BRES_SHARED_RCP = False  # A/B knob (r4): True = ONE reciprocal shared by
+#   all three floor-quotients in bresenham_idx (floor(x*rcp) + remainder
+#   correction) instead of three divisions. MEASURED SLOWER on chip and
+#   kept off: interleaved x3 at S=256/T=128, shared-rcp lost ~2% under
+#   BOTH dB forms (new 9.451 vs div3 9.262 ms/chunk; db2 9.722 vs legacy
+#   9.472) — the TPU div beats the longer mul+floor+correct chain
+#   (tools/ab_floor.py, PERF.md r4).
+
+# Flags are read at trace time inside the functions, so a sweep can flip
+# them via setattr + jax.clear_caches() (same protocol as the
+# overlap-kernel PRE_REV/REV_MXU knobs).
+
+
+def _db_value_two_factor(idx: jnp.ndarray) -> jnp.ndarray:
+    """Legacy 16x16 two-factor select form (A/B reference)."""
     from ..tables import floor1_db_two_factor
 
     HI, LO = floor1_db_two_factor()
@@ -53,6 +65,38 @@ def floor1_db_value(idx: jnp.ndarray) -> jnp.ndarray:
     for j in range(1, 16):
         hi = jnp.where(ih == j, jnp.float32(HI[j]), hi)
         lo = jnp.where(il == j, jnp.float32(LO[j]), lo)
+    return hi * lo
+
+
+def floor1_db_value(idx: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-dB table value for integer-valued f32 idx in [0, 255],
+    evaluated as H1[idx>>6] * H0[(idx>>4)&3] * L1[(idx>>2)&3] * L0[idx&3]
+    via 4x 4-way fused compare-selects (tables.floor1_db_four_factor,
+    max 2 ulp — the same contract as the earlier 16x16 two-factor form,
+    at 12 where()s instead of 30; the r4 floor-kernel bisection measured
+    this select chain at 0.72 ms/chunk). Replaces the closed-form exp(),
+    which is ~51 ulp off on the TPU VPU — up to 11 i16 LSB on full-scale
+    adversarial spectra (crafted on-chip conformance)."""
+    from ..tables import floor1_db_four_factor
+
+    if not DB_FOUR_FACTOR:
+        return _db_value_two_factor(idx)
+    H1, H0, L1, L0 = floor1_db_four_factor()
+    ia = jnp.floor(idx * jnp.float32(1.0 / 64.0))
+    r = idx - ia * jnp.float32(64.0)
+    ib = jnp.floor(r * jnp.float32(1.0 / 16.0))
+    r = r - ib * jnp.float32(16.0)
+    ic = jnp.floor(r * jnp.float32(1.0 / 4.0))
+    il = r - ic * jnp.float32(4.0)
+
+    def sel4(s, tab):
+        v = jnp.float32(tab[0]) * jnp.ones_like(s)
+        for j in range(1, 4):
+            v = jnp.where(s == j, jnp.float32(tab[j]), v)
+        return v
+
+    hi = sel4(ia, H1) * sel4(ib, H0)
+    lo = sel4(ic, L1) * sel4(il, L0)
     return hi * lo
 
 
@@ -248,20 +292,6 @@ def floor1_render(brackets):
     return floor1_db_value(bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx))
 
 
-def fdiv(x, y):
-    """Exact floor(x / y) for integer-valued f32 with x < 2^22, y >= 1.
-
-    TPU f32 division is approximate (reciprocal + refinement, not IEEE),
-    so correct the candidate with one exact remainder step (the
-    approximation error is well under 1, so the true floor is within +/-1
-    of the candidate; all products stay < 2^24 exact)."""
-    q = jnp.floor(x / y)
-    r = x - q * y
-    q = q + jnp.where(r >= y, jnp.float32(1.0), jnp.float32(0.0))
-    q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
-    return q
-
-
 def bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f):
     """Exact-f32 closed-form integer Bresenham between the bracketing
     posts -> clipped floor1 index in [0, 255] (f32). All operands f32
@@ -271,24 +301,40 @@ def bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f):
     kernels call this; pure jnp, so it traces identically inside Pallas):
     every intermediate is an exactly-representable integer (< 2^24):
     d < 2^12, ady_r < 2^15 is split as ah*64 + al so the products stay
-    < 2^22, and both floor-divisions have quotients < 2^24/adx, where
-    correctly-rounded f32 division cannot cross an integer. Integer
-    divisions would be exact too, but act as XLA fusion barriers and cost
-    far more VPU cycles."""
+    < 2^22, and every floor-quotient is recovered exactly from a
+    reciprocal-multiply candidate plus one remainder correction (bound
+    argument inline). Integer divisions would be exact too, but act as
+    XLA fusion barriers and cost far more VPU cycles."""
     one64 = jnp.float32(64.0)
     dy = hi_y - lo_y
     adx = jnp.maximum(hi_x - lo_x, jnp.float32(1.0))
     sgn = jnp.sign(dy)
     ady = jnp.abs(dy)
-    base = sgn * fdiv(ady, adx)  # == trunc(dy/adx)
+    # ONE division per element: all three floor-quotients share divisor
+    # adx, so compute its reciprocal once and floor(x * rcp) instead.
+    # Exactness: every quotient here is < 2^13 (base <= 1020; q1 =
+    # floor(d*ah/adx) < d/64 <= 64 since ah < adx/64; the last quotient
+    # <= k + 64 <= d + 64 < 2^13), so the candidate's absolute error
+    # <= q * 2 ulp < 2^13 * 2^-22 << 1 and the +/-1 remainder correction
+    # in floorq recovers the exact integer floor.
+    rcp = jnp.float32(1.0) / adx if BRES_SHARED_RCP else None
+
+    def floorq(x):
+        q = jnp.floor(x * rcp if BRES_SHARED_RCP else x / adx)
+        r = x - q * adx
+        q = q + jnp.where(r >= adx, jnp.float32(1.0), jnp.float32(0.0))
+        q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
+        return q
+
+    base = sgn * floorq(ady)  # == trunc(dy/adx)
     ady_r = ady - jnp.abs(base) * adx
     d = binx_f - lo_x
-    ah = jnp.floor(ady_r / one64)  # power-of-two divide: exact everywhere
+    ah = jnp.floor(ady_r * jnp.float32(1.0 / 64.0))  # pow2: exact
     al = ady_r - ah * one64
     a_hi = d * ah
-    q1 = fdiv(a_hi, adx)
+    q1 = floorq(a_hi)
     r1 = a_hi - q1 * adx
-    k = q1 * one64 + fdiv(r1 * one64 + d * al, adx)
+    k = q1 * one64 + floorq(r1 * one64 + d * al)
     y = lo_y + base * d + sgn * k
     return jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
 

@@ -187,3 +187,65 @@ def floor1_db_two_factor():
     hi.setflags(write=False)
     lo.setflags(write=False)
     return hi, lo
+
+
+@functools.cache
+def floor1_db_four_factor():
+    """The 256-entry inverse-dB table as a FOUR-factor product:
+    table[i] ~= H1[i>>6] * H0[(i>>4)&3] * L1[(i>>2)&3] * L0[i&3],
+    composed in the kernel's rounding order ((H1*H0)*(L1*L0)) — max 2 ulp
+    over all 256 entries, the SAME contract as floor1_db_two_factor, but
+    selectable with 4x 4-way compare-select chains (12 where()s) instead
+    of 2x 16-way (30 where()s): the r4 floor-kernel bisection measured
+    the dB select chain at 0.72 ms/chunk, the second-largest phase.
+
+    H1 anchors are exact table entries t[64a]; the other three tables
+    start from f64 ratio means and are coordinate-descent ulp-searched
+    against the full 256-entry composition. Returns (H1, H0, L1, L0)
+    float32[4] each. Deterministic.
+    """
+    t = np.asarray(floor1_inverse_db_table(), dtype=np.float32)
+    td = t.astype(np.float64)
+
+    def bump(x, step):
+        if step == 0:
+            return np.float32(x)
+        return np.int32(np.float32(x).view(np.int32) + step).view(np.float32)
+
+    h1 = t[::64].astype(np.float32)
+    h0 = np.float32([np.mean([td[64 * a + 16 * b] / td[64 * a]
+                              for a in range(4)]) for b in range(4)])
+    l1 = np.float32([np.mean([td[16 * j + 4 * c] / td[16 * j]
+                              for j in range(16)]) for c in range(4)])
+    l0 = np.float32([np.mean([td[4 * k + d] / td[4 * k]
+                              for k in range(64)]) for d in range(4)])
+    idx = np.arange(256)
+    ia, ib, ic, id_ = idx >> 6, (idx >> 4) & 3, (idx >> 2) & 3, idx & 3
+
+    def err(tabs):
+        a, b, c, d = tabs
+        hi = (a[ia] * b[ib]).astype(np.float32)
+        lo = (c[ic] * d[id_]).astype(np.float32)
+        ul = np.abs((hi * lo).astype(np.float32).view(np.int32)
+                    .astype(np.int64) - t.view(np.int32).astype(np.int64))
+        return int(ul.max()), int(ul.sum())
+
+    tabs = [h1, h0, l1, l0]
+    best = err(tabs)
+    improved = True
+    while improved:
+        improved = False
+        for ti in range(1, 4):  # H1 anchors stay exact
+            for e in range(4):
+                cur = tabs[ti][e]
+                for step in range(-6, 7):
+                    tabs[ti][e] = bump(cur, step)
+                    m = err(tabs)
+                    if m < best:
+                        best, cur, improved = m, tabs[ti][e], True
+                tabs[ti][e] = cur
+    # regression gate: same documented contract as the two-factor form
+    assert best[0] <= 2, f"four-factor dB table off by {best[0]} ulp"
+    for a in tabs:
+        a.setflags(write=False)
+    return tuple(tabs)
