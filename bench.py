@@ -71,6 +71,13 @@ def main() -> None:
         "incrementally, aggregate x-realtime polled to completion",
     )
     ap.add_argument(
+        "--transport", default="auto", choices=["auto", "i16", "p12"],
+        help="--e2e residue H2D encoding: exact i16 frames, or the "
+        "lossless 12-bit pack (parallel/pack12.py; 25%% fewer bytes "
+        "when the setup's static bound < 2048). auto = p12 on real "
+        "devices, i16 on CPU",
+    )
+    ap.add_argument(
         "--compact", default="device", choices=["device", "host"],
         help="--e2e output compaction: on-device scan (min D2H bytes; "
         "best through the slow tunnel) or host slicing of the padded "
@@ -434,12 +441,14 @@ def bench_e2e(args) -> None:
         scan=max(1, args.scan),
     )
     # warmup/compile with the same batch geometry as the timed run
-    dec.decode_streams_i16([pcks] * S, compact=args.compact)
+    dec.decode_streams_i16([pcks] * S, compact=args.compact,
+                           transport=args.transport)
 
     import time
 
     t0 = time.perf_counter()
-    outs = dec.decode_streams_i16([pcks] * S, compact=args.compact)
+    outs = dec.decode_streams_i16([pcks] * S, compact=args.compact,
+                                  transport=args.transport)
     dt = time.perf_counter() - t0
     total = sum(o.shape[0] for o in outs)
     audio_seconds = total / headers.ident.sample_rate

@@ -117,6 +117,10 @@ class CompiledSetup:
     #: (see residue_i16_bound) — front-ends then emit int16 residue frames
     #: (exact, half the H2D payload) and the device casts back to f32
     residue_i16: bool
+    #: the static worst-case |residue| itself (None if fractional); a
+    #: bound < 2048 additionally enables the lossless 12-bit transport
+    #: (parallel/pack12.py) for slow links
+    residue_bound: float | None
     # stacked tables (leaves)
     mode_blockflag: jnp.ndarray  # i32 [M]
     f_is_floor1: jnp.ndarray  # bool [M, C]
@@ -150,7 +154,7 @@ class CompiledSetup:
     _static_names = (
         "channels", "n0", "n1", "sample_rate", "max_posts", "f0_order_max",
         "has_floor0", "has_floor1", "w_eff",
-        "static_coupling", "residue_i16",
+        "static_coupling", "residue_i16", "residue_bound",
     )
 
     def tree_flatten(self):
@@ -312,6 +316,7 @@ def compile_setup(ident: IdentHeader, setup: SetupHeader) -> CompiledSetup:
         has_floor0=bool(f0s), has_floor1=bool(f1s), w_eff=w_eff,
         static_coupling=static_coupling,
         residue_i16=residue_i16,
+        residue_bound=i16_bound,
         mode_blockflag=dev(
             np.array([m.blockflag for m in setup.modes], dtype=np.int32)
         ),

@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-__all__ = ["available", "NativeStream", "NativeDecoder", "demux"]
+__all__ = ["available", "NativeStream", "NativeDecoder", "demux", "pack12"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "liblewton_host.so")
 _lib = None
@@ -113,6 +113,8 @@ def _load():
     i64p = C.POINTER(C.c_int64)
     lib.lt_decode_ogg_i16.restype = C.c_int64
     lib.lt_decode_ogg_i16.argtypes = [C.c_void_p, i16p, C.c_int64, i64p]
+    lib.lt_pack12.restype = None
+    lib.lt_pack12.argtypes = [i16p, u32p, C.c_int64, C.c_int64]
     _lib = lib
     return lib
 
@@ -122,6 +124,22 @@ def available() -> bool:
         return _load() is not None
     except OSError:
         return False
+
+
+def pack12(arr: np.ndarray) -> np.ndarray | None:
+    """C fast path for parallel/pack12.pack12_np: [..., 8K] i16 ->
+    [..., 3K] u32. Returns None when the library is not built."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert arr.dtype == np.int16 and arr.shape[-1] % 8 == 0
+    arr = np.ascontiguousarray(arr)
+    n = arr.shape[-1]
+    rows = arr.size // n if n else 0
+    out = np.empty(arr.shape[:-1] + (n * 3 // 8,), np.uint32)
+    lib.lt_pack12(_ptr(arr, C.c_int16), _ptr(out, C.c_uint32),
+                  C.c_int64(rows), C.c_int64(n))
+    return out
 
 
 def _u8(arr: np.ndarray):

@@ -1739,4 +1739,31 @@ int lt_decode_chunk_batch_i16(Stream* st, const uint8_t* buf,
   return S;
 }
 
+// 12-bit residue transport pack (parallel/pack12.py documents the
+// layout): each row of n = 8K i16 values in [-2048, 2047] is viewed as 8
+// blocked planes u_j[g] = row[j*K + g] and packed into three contiguous
+// K-wide u32 planes. The numpy pack measures ~60 MB/s on this host —
+// this loop runs at memory speed and keeps the host off the e2e
+// critical path.
+void lt_pack12(const int16_t* src, uint32_t* dst, int64_t rows, int64_t n) {
+  const int64_t K = n / 8;
+  for (int64_t r = 0; r < rows; ++r) {
+    const int16_t* row = src + r * n;
+    uint32_t* out = dst + r * 3 * K;
+    for (int64_t g = 0; g < K; ++g) {
+      uint32_t u0 = (uint32_t)row[0 * K + g] & 0xFFFu;
+      uint32_t u1 = (uint32_t)row[1 * K + g] & 0xFFFu;
+      uint32_t u2 = (uint32_t)row[2 * K + g] & 0xFFFu;
+      uint32_t u3 = (uint32_t)row[3 * K + g] & 0xFFFu;
+      uint32_t u4 = (uint32_t)row[4 * K + g] & 0xFFFu;
+      uint32_t u5 = (uint32_t)row[5 * K + g] & 0xFFFu;
+      uint32_t u6 = (uint32_t)row[6 * K + g] & 0xFFFu;
+      uint32_t u7 = (uint32_t)row[7 * K + g] & 0xFFFu;
+      out[0 * K + g] = u0 | (u1 << 12) | ((u2 & 0xFFu) << 24);
+      out[1 * K + g] = (u2 >> 8) | (u3 << 4) | (u4 << 16) | ((u5 & 0xFu) << 28);
+      out[2 * K + g] = (u5 >> 4) | (u6 << 8) | (u7 << 20);
+    }
+  }
+}
+
 }  // extern "C"

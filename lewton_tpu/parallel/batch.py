@@ -30,6 +30,7 @@ shard_map = jax.shard_map
 
 from ..models.decoder import CompiledSetup, decode_frames_core
 from ..ops.windowing import init_window_carry
+from .pack12 import pack12_np, pack12_supported, unpack12
 
 __all__ = [
     "make_mesh",
@@ -139,9 +140,11 @@ _MISC_F32 = ("f0_cosc", "f0_amp")
 
 def pack_frame_buffers(fr_np: dict):
     """(residue, u8 buf, i32 buf, f32 buf, shapes) — shapes is hashable and
-    jit-static."""
+    jit-static. shapes carries the residue's true shape so a 12-bit-packed
+    residue (parallel/pack12.py, uint32 dtype) can be restored on device."""
     shapes = tuple(
-        (k, tuple(fr_np[k].shape)) for k in _MISC_BOOL + _MISC_I32 + _MISC_F32
+        (k, tuple(fr_np[k].shape))
+        for k in ("residue",) + _MISC_BOOL + _MISC_I32 + _MISC_F32
     )
     b = np.concatenate([fr_np[k].reshape(-1).view(np.uint8) for k in _MISC_BOOL])
     i = np.concatenate([fr_np[k].reshape(-1) for k in _MISC_I32])
@@ -152,8 +155,13 @@ def pack_frame_buffers(fr_np: dict):
 def unpack_frame_buffers(residue, bbuf, ibuf, fbuf, shapes) -> dict:
     """Device-side re-view of the coalesced buffers (traced, zero-copy-ish:
     slices + reshapes fuse into consumers)."""
-    fr = {"residue": residue}
     d = dict(shapes)
+    if residue.dtype == jnp.uint32:
+        # 12-bit transport: unpack to the i16 frame the core expects
+        # (shapes records the true residue shape; see pack12.py)
+        rs = d["residue"]
+        residue = unpack12(residue, rs[-1]).reshape(rs)
+    fr = {"residue": residue}
     off = 0
     for k in _MISC_BOOL:
         n = int(np.prod(d[k]))
@@ -332,7 +340,8 @@ class BatchDecoder:
 
     def decode_streams_i16(self, streams: list[list[bytes]],
                            compact: str = "device",
-                           scan: int | None = None) -> list[np.ndarray]:
+                           scan: int | None = None,
+                           transport: str = "auto") -> list[np.ndarray]:
         """Serving path: returns interleaved i16 PCM [total, C] per stream.
 
         ``compact="device"``: PCM is compacted and converted to i16 on
@@ -350,6 +359,11 @@ class BatchDecoder:
         device_put count by N. A short tail (< N chunks) falls back to
         the per-chunk program, so at most two programs compile.
 
+        ``transport``: residue H2D encoding — "i16" ships the exact i16
+        frames, "p12" packs them 12-bit (25% fewer bytes, lossless when
+        the setup's static bound allows it; parallel/pack12.py), "auto"
+        picks p12 on real devices (slow-link win) and i16 on CPU.
+
         The chunk loop is pipelined (SURVEY §7 step 6): each group's
         device compute + D2H stream asynchronously while the host
         entropy-decodes the next group, and frame buffers double-buffer
@@ -365,6 +379,10 @@ class BatchDecoder:
         scan = max(1, int(scan))
         if self.mesh is not None:
             scan = 1  # sharded path stays per-chunk
+        if transport == "auto":
+            transport = "p12" if jax.default_backend() != "cpu" else "i16"
+        use_p12 = (transport == "p12" and pack12_supported(self.cs)
+                   and self.mesh is None)
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (S,) + x.shape),
             init_window_carry(C, W),
@@ -429,6 +447,8 @@ class BatchDecoder:
                 )
             else:
                 residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
+                if use_p12:
+                    residue = pack12_np(residue)
                 dev = (jnp.asarray(residue), jnp.asarray(bb),
                        jnp.asarray(ib), jnp.asarray(fb))
                 if use_native:

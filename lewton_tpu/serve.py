@@ -32,6 +32,7 @@ from .models.decoder import (
 from .ops.windowing import init_window_carry
 from .parallel.batch import (decode_chunk_batch_packed,
                              decode_chunks_scan_packed, pack_frame_buffers)
+from .parallel.pack12 import pack12_np, pack12_supported
 
 __all__ = ["StreamingScheduler"]
 
@@ -87,6 +88,10 @@ class _Group:
         self._fr: dict = {}
         #: dispatched-but-uncollected device steps: (device pcm, slice plan)
         self._inflight: list[tuple] = []
+        #: lossless 12-bit residue H2D when the setup's bound allows and
+        #: the link is a real device (slow-tunnel win; pure overhead on CPU)
+        self._p12 = (pack12_supported(self.cs)
+                     and jax.default_backend() != "cpu")
 
     def add(self, st: _StreamState) -> None:
         st.slot = self.free.pop()
@@ -210,6 +215,11 @@ class _Group:
         cap = int(-(-(int(lens.sum(-1).max()) + self.cs.n1) // 8192) * 8192)
         fr_dev = fr if N > 1 else {k: v[0] for k, v in fr.items()}
         residue, bb, ib, fb, shapes = pack_frame_buffers(fr_dev)
+        if self._p12:
+            # 12-bit residue transport (parallel/pack12.py): 25% fewer
+            # H2D bytes, exact for this setup's static bound. Copies out
+            # of the persistent frame buffer, so slot reuse stays safe.
+            residue = pack12_np(residue)
         dev = (jnp.asarray(residue), jnp.asarray(bb), jnp.asarray(ib),
                jnp.asarray(fb))
         if N > 1:

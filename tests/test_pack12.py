@@ -1,0 +1,133 @@
+"""12-bit residue transport (parallel/pack12.py): exactness + wiring."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lewton_tpu.inside_ogg import read_headers
+from lewton_tpu.models.decoder import compile_setup
+from lewton_tpu.ogg import PacketReader
+from lewton_tpu.parallel import BatchDecoder
+from lewton_tpu.parallel.pack12 import pack12_np, pack12_supported, unpack12
+
+
+def _headers(corpus_dir, name):
+    with open(os.path.join(corpus_dir, name), "rb") as f:
+        rdr = PacketReader(f.read())
+    return read_headers(rdr)[0]
+
+
+def _audio_packets(corpus_dir, name):
+    with open(os.path.join(corpus_dir, name), "rb") as f:
+        data = f.read()
+    rdr = PacketReader(data)
+    headers, serial = read_headers(rdr)
+    pcks = []
+    while (p := rdr.read_packet()) is not None:
+        if p.stream_serial == serial:
+            pcks.append(p.data)
+    return headers, pcks
+
+
+@pytest.mark.parametrize("shape", [(8,), (3, 16), (2, 5, 24), (4, 2, 7, 128)])
+def test_roundtrip_random(shape):
+    rng = np.random.default_rng(shape[-1])
+    x = rng.integers(-2048, 2048, size=shape, dtype=np.int16)
+    packed = pack12_np(x)
+    assert packed.dtype == np.uint32
+    assert packed.shape == shape[:-1] + (shape[-1] * 3 // 8,)
+    y = np.asarray(unpack12(jnp.asarray(packed), shape[-1]))
+    np.testing.assert_array_equal(x, y)
+
+
+def test_roundtrip_edge_values():
+    x = np.array([[-2048, 2047, 0, -1, 1, -2048, 2047, 1234]], np.int16)
+    y = np.asarray(unpack12(jnp.asarray(pack12_np(x)), 8))
+    np.testing.assert_array_equal(x, y)
+
+
+def test_native_pack_matches_numpy(monkeypatch):
+    """The C fast path and the numpy fallback must be byte-identical."""
+    from lewton_tpu import native
+    from lewton_tpu.parallel import pack12 as mod
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    x = rng.integers(-2048, 2048, size=(5, 9, 256), dtype=np.int16)
+    fast = pack12_np(x)
+    monkeypatch.setattr(native, "available", lambda: False)
+    slow = mod.pack12_np(x)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_supported_gating(corpus_dir):
+    """Eligibility keys on the setup's proven static bound: q3's 1657
+    qualifies, q10's 8844 must not."""
+    h3 = _headers(corpus_dir, "stereo_44k_q3.ogg")
+    cs3 = compile_setup(h3.ident, h3.setup)
+    assert cs3.residue_bound is not None and cs3.residue_bound < 2048
+    assert pack12_supported(cs3)
+    h10 = _headers(corpus_dir, "stereo_44k_q10.ogg")
+    cs10 = compile_setup(h10.ident, h10.setup)
+    assert cs10.residue_bound is not None and cs10.residue_bound >= 2048
+    assert not pack12_supported(cs10)
+
+
+def test_decode_streams_p12_matches_i16(corpus_dir):
+    """transport='p12' must bit-match the i16 transport end to end, on
+    both compaction modes and through scan grouping."""
+    headers, pcks = _audio_packets(corpus_dir, "stereo_44k_q3.ogg")
+    pcks = pcks[:56]
+    for compact in ("device", "host"):
+        base = BatchDecoder(headers.ident, headers.setup, chunk=16, scan=3
+                            ).decode_streams_i16([pcks, pcks],
+                                                 compact=compact,
+                                                 transport="i16")
+        p12 = BatchDecoder(headers.ident, headers.setup, chunk=16, scan=3
+                           ).decode_streams_i16([pcks, pcks],
+                                                compact=compact,
+                                                transport="p12")
+        for x, y in zip(base, p12):
+            assert x.shape == y.shape
+            np.testing.assert_array_equal(x, y)
+
+
+def test_decode_streams_p12_ineligible_falls_back(corpus_dir):
+    """Asking for p12 on a setup whose bound exceeds 2048 silently keeps
+    the exact i16 transport (policy knob, never a correctness knob)."""
+    headers, pcks = _audio_packets(corpus_dir, "stereo_44k_q10.ogg")
+    pcks = pcks[:24]
+    base = BatchDecoder(headers.ident, headers.setup, chunk=16
+                        ).decode_streams_i16([pcks], transport="i16")
+    p12 = BatchDecoder(headers.ident, headers.setup, chunk=16
+                       ).decode_streams_i16([pcks], transport="p12")
+    for x, y in zip(base, p12):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_serve_p12_matches(corpus_dir):
+    """The serve scheduler's p12 path (forced on: the CPU backend disables
+    it by default) must produce the same PCM as the i16 path."""
+    from lewton_tpu.serve import StreamingScheduler
+
+    data = open(os.path.join(corpus_dir, "stereo_44k_q3.ogg"), "rb").read()
+
+    def run(force_p12):
+        sched = StreamingScheduler(capacity=2, chunk=8, scan=2)
+        sched.add_stream("s", data)
+        if force_p12:
+            (groups,) = sched.groups.values()
+            assert pack12_supported(groups[0].cs)
+            groups[0]._p12 = True
+        got = []
+        while sched.step():
+            got.append(sched.poll("s"))
+        got.append(sched.poll("s"))
+        assert sched.is_done("s")
+        return np.concatenate(got, axis=0)
+
+    np.testing.assert_array_equal(run(False), run(True))
