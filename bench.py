@@ -213,6 +213,55 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def probe_link(mb: int = 32, reps: int = 3) -> tuple[float, float]:
+    """Measured host<->device link rates (h2d_mb_s, d2h_mb_s): median of
+    `reps` one-way transfers of an `mb`-MiB buffer. The tunnel link here
+    is bursty (16-1700 MB/s minute to minute), so transfer-bound surfaces
+    record the rate seen AT measurement time — without it, a reader of
+    the artifact cannot tell a pipeline regression from a degraded link
+    (VERDICT r4 weak #2)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    buf = np.zeros((mb << 20) // 4, np.float32)
+    d = jax.device_put(buf)
+    jax.block_until_ready(d)
+    np.asarray(d)  # warm both directions
+    h2d, d2h = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        d = jax.device_put(buf)
+        jax.block_until_ready(d)
+        h2d.append(buf.nbytes / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        np.asarray(d)
+        d2h.append(buf.nbytes / (time.perf_counter() - t0))
+    return (float(np.median(h2d)) / 1e6, float(np.median(d2h)) / 1e6)
+
+
+def _link_detail(h2d_bytes: int, d2h_bytes: int, audio_s: float,
+                 wall_s: float, probe: tuple[float, float]) -> dict:
+    """Self-normalizing transfer fields for e2e/serve artifacts: byte
+    counts, achieved aggregate MB/s, and the link-implied ceiling at the
+    probed rates (PERF.md r4 formula, computed per run)."""
+    h2d_mb_s, d2h_mb_s = probe
+    link_s = (h2d_bytes / (h2d_mb_s * 1e6) if h2d_mb_s else 0.0) + (
+        d2h_bytes / (d2h_mb_s * 1e6) if d2h_mb_s else 0.0)
+    return {
+        "h2d_bytes": int(h2d_bytes),
+        "d2h_bytes": int(d2h_bytes),
+        "achieved_link_mb_s": round((h2d_bytes + d2h_bytes) / wall_s / 1e6,
+                                    1),
+        "probe_h2d_mb_s": round(h2d_mb_s, 1),
+        "probe_d2h_mb_s": round(d2h_mb_s, 1),
+        "link_implied_ceiling_x": round(audio_s / link_s, 1) if link_s
+        else None,
+    }
+
+
 def check_conformance(args) -> None:
     """Decode the corpus with the jax backend on the current platform and
     report per-file max deviation vs the libvorbis goldens."""
@@ -264,24 +313,127 @@ def check_conformance(args) -> None:
                                             residue_type=2, coupling=True)
     crafted["f0_two_books"] = build_f0(n_books=2)
     crafted["f0_max_amp"] = build_f0(max_amp=True)
+    crafted_goldens = {}
     for name, data in crafted.items():
         with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
             f.write(data)
             f.flush()
             g = vr.decode_file_i16(f.name)
+        crafted_goldens[name] = g
         out = OggStreamReader(data, backend="jax").read_all_i16()
         d = np.abs(out.astype(np.int32) - g.astype(np.int32))
         worst = max(worst, int(d.max()))
         bad += int((d > 2).sum())
         print(f"  crafted/{name}: maxdiff {int(d.max())}, "
               f">2: {int((d > 2).sum())}")
+
+    # ---- shipped production permutations (VERDICT r4 weak #3: gate what
+    # you ship). The single-stream loop above never exercises the TPU
+    # defaults of the e2e/serve surfaces: scan-N lax.scan dispatch, the
+    # p12 residue transport, host-side compaction of the padded kernel
+    # output, and the serve scheduler itself. Decode a corpus subset plus
+    # one adversarial crafted stream through each shipped permutation and
+    # hold them to the same +/-2 LSB contract. ----
+    import subprocess
+
+    from lewton_tpu import native as _nat
+    from lewton_tpu.inside_ogg import read_headers
+    from lewton_tpu.ogg import PacketReader
+    from lewton_tpu.parallel.batch import BatchDecoder
+    from lewton_tpu.parallel.pack12 import pack12_supported
+
+    subprocess.run(["make", "-C", "lewton_tpu/native", "-s"], check=True)
+    perm_results = {}
+    # f1_bs8192 is the adversarial stream that exposed the 3-pass IMDCT
+    # precision failure (r3) — route it through the batch/scan plumbing;
+    # the corpus files cover stereo + multichannel
+    perm_cases = [("stereo_44k_q3", None), ("ch6_44k_q3", None)]
+    if "f1_bs8192" in crafted:
+        perm_cases.append(("crafted/f1_bs8192", crafted["f1_bs8192"]))
+    perm_configs = [
+        ("scan8_p12_device", 8, "p12", "device"),   # e2e TPU defaults
+        ("scan16_p12_device", 16, "p12", "device"),  # headline scan depth
+        ("scan16_i16_host", 16, "i16", "host"),      # host compaction
+    ]
+    for cfg_name, scan, transport, compact in perm_configs:
+        cworst, cbad = 0, 0
+        for name, data in perm_cases:
+            if data is None:
+                data = open(f"{root}/{name}.ogg", "rb").read()
+                g = np.load(f"{root}/{name}.golden.npy")
+            else:
+                g = crafted_goldens[name.split("/", 1)[1]]
+            rdr = PacketReader(data)
+            headers, _ = read_headers(rdr)
+            spans, _, _, _, _ = _nat.demux_spans(data)
+            pcks = _nat.PacketSpans(spans.data, spans.offs[3:],
+                                    spans.lens[3:])
+            dec = BatchDecoder(
+                headers.ident, headers.setup, chunk=64,
+                raw_headers=(headers.raw_ident, headers.raw_setup),
+                scan=scan)
+            if transport == "p12" and name == "stereo_44k_q3":
+                # the flagship setup must actually exercise the p12 path
+                # (a silent fall-through to i16 would gate nothing)
+                assert pack12_supported(dec.cs), "flagship p12 gate"
+            outs = dec.decode_streams_i16([pcks, pcks], compact=compact,
+                                          transport=transport)
+            assert np.array_equal(outs[0], outs[1]), name
+            out = outs[0]
+            # batch decode is granule-blind: compare against the golden's
+            # (absgp-truncated) prefix; the untruncated tail is < 1 block
+            assert 0 <= out.shape[0] - g.shape[0] <= dec.cs.n1, (
+                out.shape, g.shape)
+            d = np.abs(out[: g.shape[0]].astype(np.int32)
+                       - g.astype(np.int32))
+            cworst = max(cworst, int(d.max()))
+            cbad += int((d > 2).sum())
+            print(f"  perm/{cfg_name}/{name}: maxdiff {int(d.max())}, "
+                  f">2: {int((d > 2).sum())}")
+        perm_results[cfg_name] = {"maxdiff": cworst,
+                                  "samples_over_2lsb": cbad}
+        worst = max(worst, cworst)
+        bad += cbad
+
+    # serve scheduler pass (shipped adaptive-scan scheduler; scan=8 also
+    # covers the lax.scan dispatch inside serve). Serve applies absgp
+    # truncation itself, so shapes match the goldens exactly.
+    from lewton_tpu.serve import StreamingScheduler
+
+    sched = StreamingScheduler(capacity=4, chunk=64, scan=8)
+    sworst, sbad = 0, 0
+    for name, data in perm_cases:
+        if data is None:
+            data = open(f"{root}/{name}.ogg", "rb").read()
+            g = np.load(f"{root}/{name}.golden.npy")
+        else:
+            g = crafted_goldens[name.split("/", 1)[1]]
+        sched.add_stream(name, data)
+    while sched.step():
+        pass
+    for name, data in perm_cases:
+        g = (np.load(f"{root}/{name}.golden.npy") if data is None
+             else crafted_goldens[name.split("/", 1)[1]])
+        out = sched.poll(name)
+        assert out.shape == g.shape, (name, out.shape, g.shape)
+        d = np.abs(out.astype(np.int32) - g.astype(np.int32))
+        sworst = max(sworst, int(d.max()))
+        sbad += int((d > 2).sum())
+        print(f"  perm/serve_scan8/{name}: maxdiff {int(d.max())}, "
+              f">2: {int((d > 2).sum())}")
+    perm_results["serve_scan8"] = {"maxdiff": sworst,
+                                   "samples_over_2lsb": sbad}
+    worst = max(worst, sworst)
+    bad += sbad
+
     print(_json.dumps({
         "metric": "conformance_max_lsb_diff",
         "value": worst,
         "unit": "i16_lsb",
         "vs_baseline": 1.0 if bad == 0 and worst <= 2 else 0.0,
         "detail": {"platform": jax.devices()[0].platform,
-                   "samples_over_2lsb": bad},
+                   "samples_over_2lsb": bad,
+                   "production_permutations": perm_results},
     }))
 
 
@@ -312,6 +464,8 @@ def bench_serve(args) -> None:
     while sched.step():
         pass
 
+    probe = probe_link()
+    sched.transfer_stats(reset=True)
     total_samples = 0
     rates = {}
     t0 = time.perf_counter()
@@ -325,15 +479,19 @@ def bench_serve(args) -> None:
         rates[i] = grp.cs.sample_rate
         total_samples += pcm.shape[0] / grp.cs.sample_rate
     dt = time.perf_counter() - t0
+    stats = sched.transfer_stats()
+    detail = {"streams": S, "setups": len(files),
+              "wall_s": round(dt, 3),
+              "audio_s": round(total_samples, 1),
+              "platform": jax.devices()[0].platform}
+    detail.update(_link_detail(stats["h2d_bytes"], stats["d2h_bytes"],
+                               total_samples, dt, probe))
     print(json.dumps({
         "metric": "serve_realtime_mixed_setups",
         "value": round(total_samples / dt, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(total_samples / dt / 10000.0, 3),
-        "detail": {"streams": S, "setups": len(files),
-                   "wall_s": round(dt, 3),
-                   "audio_s": round(total_samples, 1),
-                   "platform": jax.devices()[0].platform},
+        "detail": detail,
     }))
 
 
@@ -393,7 +551,14 @@ def bench_frontend(args) -> None:
                                         for k, v in rates.items()},
                    "cores": cores,
                    "one_core_host": cores == 1,
-                   "x_realtime_equiv": round(best * samples / 44100.0, 1)},
+                   "x_realtime_equiv": round(best * samples / 44100.0, 1),
+                   # VERDICT r4 weak #5/#7: the cores-per-chip capacity
+                   # story is a PROJECTION from this single-core rate, not
+                   # a measurement — carried in the artifact itself so a
+                   # reader never mistakes it for measured scaling
+                   "scaling_note": (
+                       "projection from a 1-vCPU host" if cores == 1 else
+                       f"measured on {cores} cores")},
     }))
 
 
@@ -443,6 +608,7 @@ def bench_e2e(args) -> None:
     # warmup/compile with the same batch geometry as the timed run
     dec.decode_streams_i16([pcks] * S, compact=args.compact,
                            transport=args.transport)
+    probe = probe_link()
 
     import time
 
@@ -453,16 +619,20 @@ def bench_e2e(args) -> None:
     total = sum(o.shape[0] for o in outs)
     audio_seconds = total / headers.ident.sample_rate
     x_realtime = audio_seconds / dt
+    detail = {
+        "streams": S, "wall_s": round(dt, 3),
+        "audio_s": round(audio_seconds, 2),
+        "platform": jax.devices()[0].platform,
+    }
+    detail.update(_link_detail(dec.last_stats["h2d_bytes"],
+                               dec.last_stats["d2h_bytes"],
+                               audio_seconds, dt, probe))
     print(json.dumps({
         "metric": "e2e_realtime_decode_44k1_stereo",
         "value": round(x_realtime, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_realtime / 10000.0, 3),
-        "detail": {
-            "streams": S, "wall_s": round(dt, 3),
-            "audio_s": round(audio_seconds, 2),
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }))
 
 

@@ -130,14 +130,17 @@ def floor0_curve(df: DecodedFloor0, blockflag: int, n2: int, rate: int) -> np.nd
         lfv_common / np.sqrt(p + q) - np.float32(fl.amplitude_offset)
     )
     # Saturate instead of overflowing to inf: libvorbis (the conformance
-    # oracle) computes plain exp here too, so any finite arg matches it
-    # bit-for-bit; past f32 range (arg > ~88.7, reachable only by crafted
-    # max-amplitude near-singular-LSP streams — no encoder emits them)
-    # libvorbis goes to inf and then NaN (inf x 0 residue), which no
-    # backend can pin. We clamp to a finite f32-max-scale curve: huge
-    # spectra still clamp to +/-32767, zero residues stay 0 (never NaN).
-    # Deliberate, documented divergence on unreachable-by-encoders input.
-    lfv = np.exp(np.minimum(arg, np.float32(88.0)), dtype=np.float32)
+    # oracle) computes plain exp here too, so for args up to the f32 exp
+    # overflow edge (~88.72) we match its f32-rounded value; note libvorbis
+    # computes in double, which stays finite to ~709 — args in (88.72, 709]
+    # produce a finite-but-unrepresentable-in-f32 curve there while we
+    # saturate (reachable only by crafted max-amplitude near-singular-LSP
+    # streams — no encoder emits them). Past that libvorbis goes inf and
+    # then NaN (inf x 0 residue), which no backend can pin. Clamping at
+    # 88.7 (just inside the f32 edge) keeps the divergence window minimal:
+    # huge spectra still clamp to +/-32767, zero residues stay 0 (never
+    # NaN). Deliberate, documented divergence on unreachable input.
+    lfv = np.exp(np.minimum(arg, np.float32(88.7)), dtype=np.float32)
     return lfv.astype(np.float32)
 
 

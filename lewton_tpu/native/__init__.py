@@ -113,7 +113,7 @@ def _load():
     i64p = C.POINTER(C.c_int64)
     lib.lt_decode_ogg_i16.restype = C.c_int64
     lib.lt_decode_ogg_i16.argtypes = [C.c_void_p, i16p, C.c_int64, i64p]
-    lib.lt_pack12.restype = None
+    lib.lt_pack12.restype = C.c_int64
     lib.lt_pack12.argtypes = [i16p, u32p, C.c_int64, C.c_int64]
     _lib = lib
     return lib
@@ -137,8 +137,12 @@ def pack12(arr: np.ndarray) -> np.ndarray | None:
     n = arr.shape[-1]
     rows = arr.size // n if n else 0
     out = np.empty(arr.shape[:-1] + (n * 3 // 8,), np.uint32)
-    lib.lt_pack12(_ptr(arr, C.c_int16), _ptr(out, C.c_uint32),
-                  C.c_int64(rows), C.c_int64(n))
+    rc = lib.lt_pack12(_ptr(arr, C.c_int16), _ptr(out, C.c_uint32),
+                       C.c_int64(rows), C.c_int64(n))
+    if rc:
+        # loud failure instead of silent 12-bit truncation: the static
+        # residue_i16_bound gate (< 2048) should make this unreachable
+        raise ValueError("pack12: residue value outside [-2048, 2047]")
     return out
 
 

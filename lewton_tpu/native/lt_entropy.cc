@@ -1745,12 +1745,22 @@ int lt_decode_chunk_batch_i16(Stream* st, const uint8_t* buf,
 // K-wide u32 planes. The numpy pack measures ~60 MB/s on this host —
 // this loop runs at memory speed and keeps the host off the e2e
 // critical path.
-void lt_pack12(const int16_t* src, uint32_t* dst, int64_t rows, int64_t n) {
+//
+// Returns 0 on success, 1 if any value fell outside [-2048, 2047]: the
+// 12-bit mask would otherwise corrupt residues SILENTLY if the static
+// residue_i16_bound gate were ever wrong (ADVICE r4). The check is a
+// branchless OR-accumulate of (v + 2048) — in-range values stay within
+// 12 bits — verified once at the end, so the hot loop stays memory-speed.
+int64_t lt_pack12(const int16_t* src, uint32_t* dst, int64_t rows,
+                  int64_t n) {
   const int64_t K = n / 8;
+  uint32_t range_acc = 0;
   for (int64_t r = 0; r < rows; ++r) {
     const int16_t* row = src + r * n;
     uint32_t* out = dst + r * 3 * K;
     for (int64_t g = 0; g < K; ++g) {
+      for (int j = 0; j < 8; ++j)
+        range_acc |= (uint32_t)(int32_t)row[j * K + g] + 2048u;
       uint32_t u0 = (uint32_t)row[0 * K + g] & 0xFFFu;
       uint32_t u1 = (uint32_t)row[1 * K + g] & 0xFFFu;
       uint32_t u2 = (uint32_t)row[2 * K + g] & 0xFFFu;
@@ -1764,6 +1774,7 @@ void lt_pack12(const int16_t* src, uint32_t* dst, int64_t rows, int64_t n) {
       out[2 * K + g] = (u5 >> 4) | (u6 << 8) | (u7 << 20);
     }
   }
+  return (range_acc >> 12) ? 1 : 0;
 }
 
 }  // extern "C"

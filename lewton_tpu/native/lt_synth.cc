@@ -284,11 +284,13 @@ void floor0_curve(Decoder* dec, uint32_t floor_idx, const float* cosc,
         q *= 4.0f * qm * qm;
       }
     }
-    // saturate past f32 exp range instead of inf (then NaN via 0 residue);
-    // identity for any arg libvorbis keeps finite — see floor.floor0_curve
+    // saturate just inside the f32 exp overflow edge (~88.72) instead of
+    // inf (then NaN via 0 residue); matches libvorbis's f32-rounded value
+    // for any arg below the edge — see floor.floor0_curve for the full
+    // divergence-window note (libvorbis computes exp in double)
     float arg = 0.11512925f *
                 (lfv_common / std::sqrt(p + q) - (float)f.amplitude_offset);
-    out[i] = std::exp(std::min(arg, 88.0f));
+    out[i] = std::exp(std::min(arg, 88.7f));
   }
 }
 

@@ -395,7 +395,9 @@ def floor0_curve_batch(
     arg = jnp.float32(0.11512925) * (
         lfv_common[:, :, None] / jnp.sqrt(p + q) - amp_offset[:, :, None]
     )
-    # saturate past f32 exp range instead of inf (then NaN via 0 residue);
-    # identity for any arg libvorbis keeps finite — see floor.floor0_curve
-    curve = jnp.exp(jnp.minimum(arg, jnp.float32(88.0)))
+    # saturate just inside the f32 exp overflow edge (~88.72) instead of
+    # inf (then NaN via 0 residue); matches libvorbis's f32-rounded value
+    # for any arg below the edge — see floor.floor0_curve for the full
+    # divergence-window note (libvorbis computes exp in double)
+    curve = jnp.exp(jnp.minimum(arg, jnp.float32(88.7)))
     return jnp.where((amp > 0)[:, :, None], curve, jnp.float32(0.0))

@@ -63,6 +63,12 @@ def pack12_np(arr: np.ndarray) -> np.ndarray:
     fast = native.pack12(arr) if native.available() else None
     if fast is not None:
         return fast
+    # loud failure instead of silent 12-bit truncation (ADVICE r4): the
+    # static residue_i16_bound < 2048 gate should make this unreachable,
+    # but a wrong bound or a new front-end emitting wider values must
+    # raise, not corrupt. (The native path checks inside the C loop.)
+    if arr.size and (arr.min() < -2048 or arr.max() > 2047):
+        raise ValueError("pack12: residue value outside [-2048, 2047]")
     K = arr.shape[-1] // 8
     u = (arr.astype(np.uint32) & np.uint32(0xFFF)).reshape(
         arr.shape[:-1] + (8, K))

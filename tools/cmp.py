@@ -70,24 +70,53 @@ def cmd_perf(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    """Aggregate decode-time ratio ours/libvorbisfile (dev/cmp bench)."""
+    """Aggregate decode-time ratio ours/libvorbisfile (dev/cmp bench).
+
+    Measurement discipline (CLAUDE.md / VERDICT r4 weak #1): this host's
+    wall clock swings +-20% minute to minute, so two sequential absolute
+    runs cannot support a ratio. Each file runs ``--reps`` ALTERNATING
+    ours/libvorbis pairs (warmup pair first, untimed) and reports the
+    ratio of MEDIANS; the aggregate is the median of per-file ratios.
+    Ref analog: /root/reference/dev/cmp/src/lib.rs:22-63 (cmp_perf).
+    """
     from lewton_tpu.inside_ogg import OggStreamReader
     from tools import vorbisref as vr
 
     ratios = []
+    details = []
     for name in _files():
         path = f"{ROOT}/{name}.ogg"
-        t0 = time.perf_counter()
+        # warmup (page cache, library init, jit where applicable) — untimed
         OggStreamReader(path, backend=args.backend).read_all_i16()
-        ours = time.perf_counter() - t0
-        t0 = time.perf_counter()
         vr.decode_file_i16(path)
-        ref = time.perf_counter() - t0
+        ours_t, ref_t = [], []
+        for _ in range(max(3, args.reps)):
+            t0 = time.perf_counter()
+            OggStreamReader(path, backend=args.backend).read_all_i16()
+            ours_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vr.decode_file_i16(path)
+            ref_t.append(time.perf_counter() - t0)
+        ours = float(np.median(ours_t))
+        ref = float(np.median(ref_t))
         ratios.append(ours / ref)
+        details.append({"file": name, "ours_ms": round(ours * 1000, 2),
+                        "libvorbis_ms": round(ref * 1000, 2),
+                        "ratio": round(ours / ref, 3)})
         print(f"  {name}: ours {ours * 1000:7.2f} ms, "
-              f"libvorbis {ref * 1000:7.2f} ms, difference={ours / ref:.2f}x")
-    agg = float(np.mean(ratios))
-    print(f"aggregate difference={agg:.2f}x (ours/libvorbis; <1 is faster)")
+              f"libvorbis {ref * 1000:7.2f} ms, difference={ours / ref:.2f}x"
+              f"  (median of {len(ours_t)} interleaved reps)")
+    agg = float(np.median(ratios))
+    print(f"aggregate difference={agg:.2f}x "
+          f"(ours/libvorbis; <1 is faster; median of per-file "
+          f"median-of-{max(3, args.reps)}-interleaved ratios)")
+    if args.json:
+        import json
+
+        print(json.dumps({"aggregate_ratio": round(agg, 3),
+                          "reps": max(3, args.reps),
+                          "method": "median_of_interleaved",
+                          "files": details}))
     return 0
 
 
@@ -98,6 +127,12 @@ def main() -> int:
         p = sub.add_parser(c)
         p.add_argument("--backend", default="native",
                        choices=["numpy", "native", "jax"])
+        if c == "bench":
+            p.add_argument("--reps", type=int, default=5,
+                           help="interleaved ours/libvorbis pairs per "
+                           "file (min 3); medians reported")
+            p.add_argument("--json", action="store_true",
+                           help="also print a machine-readable line")
     args = ap.parse_args()
     return {"vals": cmd_vals, "perf": cmd_perf, "bench": cmd_bench}[args.cmd](args)
 
