@@ -799,6 +799,25 @@ class StreamDecoder:
     def reset(self) -> None:
         self.carry = init_window_carry(self.cs.channels, self.cs.n1 // 2)
 
+    def set_residue_transport(self, kind: str) -> None:
+        """Select the native front-end's residue emit encoding: "default"
+        (i16 when the setup's static bound allows, else f32) or "p12"
+        (12-bit planes packed at emit time — one write of the dominant
+        buffer instead of decode-then-pack; requires
+        parallel.pack12.pack12_supported). No-op without the native
+        front-end (the python front-end emits i16/f32 frames and callers
+        pack separately)."""
+        if self._native is None:
+            return
+        if kind == "p12":
+            from ..parallel.pack12 import pack12_supported
+
+            assert pack12_supported(self.cs), "p12 emit needs the static gate"
+            self._native.residue_dtype = np.uint32
+        else:
+            self._native.residue_dtype = (
+                np.int16 if self.cs.residue_i16 else np.float32)
+
     def save_state(self):
         """Checkpoint the window carry as host numpy (SURVEY §5
         checkpoint/resume; the carry is the whole inter-packet state)."""

@@ -1588,6 +1588,54 @@ int lt_decode_chunk_i16(Stream* st, const uint8_t* buf, const uint64_t* offs,
   return T;
 }
 
+// 12-bit residue transport: identical decode, residues packed straight
+// out of the hot f32 scratch row into the p12 planes (layout documented
+// at lt_pack12 / parallel/pack12.py). Callers enable this only when the
+// setup passes pack12_supported (static |residue| bound < 2048, row
+// width divisible by 8) — the pack is then exact. vs lt_decode_chunk_i16
+// + a later lt_pack12 pass, the dominant chunk buffer is written ONCE
+// (3/8 the i16 bytes) and never re-read cold (VERDICT r4 weak #5).
+// The clamp only guards stale scratch on exception paths (status != 0
+// frames are masked downstream; clamping keeps the cast UB-free).
+int lt_decode_chunk_p12(Stream* st, const uint8_t* buf, const uint64_t* offs,
+                        const uint64_t* lens, int T, int32_t* mode,
+                        uint8_t* prevf, uint8_t* nextf, uint8_t* status,
+                        uint32_t* residue, uint8_t* f_kind, int32_t* f1_ys,
+                        uint8_t* f1_flags, float* f0_cosc, float* f0_amp,
+                        int rw) {
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  const size_t n = C * R, K = n / 8;
+  lt::DecodeScratch scratch;
+  std::vector<float> row(n);
+  for (int t = 0; t < T; ++t) {
+    try {
+      status[t] = (uint8_t)lt::decode_packet(
+          st, buf + offs[t], lens[t], mode + t, prevf + t, nextf + t,
+          row.data(), f_kind + (size_t)t * C, f1_ys + (size_t)t * C * P,
+          f1_flags + (size_t)t * C * P, f0_cosc + (size_t)t * C * Om,
+          f0_amp + (size_t)t * C, (uint32_t)rw, &scratch);
+    } catch (const std::exception&) {
+      status[t] = lt::LT_BAD;
+    }
+    uint32_t* __restrict dst = residue + (size_t)t * 3 * K;
+    const float* __restrict src = row.data();
+    for (size_t g = 0; g < K; ++g) {
+      uint32_t u[8];
+      for (int j = 0; j < 8; ++j) {
+        float v = src[j * K + g];
+        v = v < -2048.0f ? -2048.0f : (v > 2047.0f ? 2047.0f : v);
+        u[j] = (uint32_t)(int32_t)v & 0xFFFu;
+      }
+      dst[0 * K + g] = u[0] | (u[1] << 12) | ((u[2] & 0xFFu) << 24);
+      dst[1 * K + g] =
+          (u[2] >> 8) | (u[3] << 4) | (u[4] << 16) | ((u[5] & 0xFu) << 28);
+      dst[2 * K + g] = (u[5] >> 4) | (u[6] << 8) | (u[7] << 20);
+    }
+  }
+  return T;
+}
+
 }  // extern "C"
 
 // Batched variant: S streams x up to T packets each, ONE C call for the
@@ -1705,6 +1753,82 @@ int lt_decode_chunk_batch_v_i16(Stream* st, const uint8_t* const* bufs,
       lt_decode_chunk_i16(st, bufs[s], offs + b, lens + b, counts[s],
                           mode + b, prevf + b, nextf + b, status + b,
                           residue + b * C * R, f_kind + b * C,
+                          f1_ys + b * C * P, f1_flags + b * C * P,
+                          f0_cosc + b * C * Om, f0_amp + b * C, rw);
+    }
+  };
+  if (n_threads <= 1 || S <= 1) {
+    run(0, S);
+    return S;
+  }
+  int nt = n_threads < S ? n_threads : S;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int k = 0; k < nt; ++k) {
+    int s0 = (int)((int64_t)S * k / nt), s1 = (int)((int64_t)S * (k + 1) / nt);
+    ts.emplace_back(run, s0, s1);
+  }
+  for (auto& t : ts) t.join();
+  return S;
+}
+
+int lt_decode_chunk_batch_p12(Stream* st, const uint8_t* buf,
+                              const uint64_t* offs, const uint64_t* lens,
+                              const int32_t* counts, int S, int T,
+                              int32_t* mode, uint8_t* prevf, uint8_t* nextf,
+                              uint8_t* status, uint32_t* residue,
+                              uint8_t* f_kind, int32_t* f1_ys,
+                              uint8_t* f1_flags, float* f0_cosc,
+                              float* f0_amp, int rw, int n_threads) {
+  // packet residue stride is 3*(C*rw)/8 u32 words (not C*rw), so the
+  // generic decode_batch_impl offset math does not apply — inline the
+  // same thread split with the p12 stride
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  const size_t rk = 3 * (C * R) / 8;
+  auto run = [&](int s0, int s1) {
+    for (int s = s0; s < s1; ++s) {
+      const size_t b = (size_t)s * T;
+      lt_decode_chunk_p12(st, buf, offs + b, lens + b, counts[s], mode + b,
+                          prevf + b, nextf + b, status + b, residue + b * rk,
+                          f_kind + b * C, f1_ys + b * C * P,
+                          f1_flags + b * C * P, f0_cosc + b * C * Om,
+                          f0_amp + b * C, rw);
+    }
+  };
+  if (n_threads <= 1 || S <= 1) {
+    run(0, S);
+    return S;
+  }
+  int nt = n_threads < S ? n_threads : S;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int k = 0; k < nt; ++k) {
+    int s0 = (int)((int64_t)S * k / nt), s1 = (int)((int64_t)S * (k + 1) / nt);
+    ts.emplace_back(run, s0, s1);
+  }
+  for (auto& t : ts) t.join();
+  return S;
+}
+
+int lt_decode_chunk_batch_v_p12(Stream* st, const uint8_t* const* bufs,
+                                const uint64_t* offs, const uint64_t* lens,
+                                const int32_t* counts, int S, int T,
+                                int32_t* mode, uint8_t* prevf,
+                                uint8_t* nextf, uint8_t* status,
+                                uint32_t* residue, uint8_t* f_kind,
+                                int32_t* f1_ys, uint8_t* f1_flags,
+                                float* f0_cosc, float* f0_amp, int rw,
+                                int n_threads) {
+  const size_t C = st->channels, P = st->P, Om = st->Omax;
+  const size_t R = (size_t)rw;
+  const size_t rk = 3 * (C * R) / 8;
+  auto run = [&](int s0, int s1) {
+    for (int s = s0; s < s1; ++s) {
+      const size_t b = (size_t)s * T;
+      lt_decode_chunk_p12(st, bufs[s], offs + b, lens + b, counts[s],
+                          mode + b, prevf + b, nextf + b, status + b,
+                          residue + b * rk, f_kind + b * C,
                           f1_ys + b * C * P, f1_flags + b * C * P,
                           f0_cosc + b * C * Om, f0_amp + b * C, rw);
     }

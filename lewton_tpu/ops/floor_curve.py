@@ -46,7 +46,20 @@ BRES_SHARED_RCP = False  # A/B knob (r4): True = ONE reciprocal shared by
 #   kept off: interleaved x3 at S=256/T=128, shared-rcp lost ~2% under
 #   BOTH dB forms (new 9.451 vs div3 9.262 ms/chunk; db2 9.722 vs legacy
 #   9.472) — the TPU div beats the longer mul+floor+correct chain
-#   (tools/ab_floor.py, PERF.md r4).
+#   (tools/ab_floor.py, PERF.md r4). (Only affects the "split" form.)
+
+BRES_SINGLE_Q = True  # r5: collapse the Bresenham render to ONE floor
+#   quotient. Integer identity (proof in bresenham_idx): with
+#   base' = floor(ady/adx) and ady_r = ady - base'*adx,
+#       base'*d + floor(d*ady_r/adx) == floor(d*ady/adx),
+#   so y = lo_y + sgn*floor(d*ady/adx) replaces the 3-quotient chain
+#   (base, two-limb ah/al split, q1/r1, k). The single product d*ady is
+#   exact in f32: d < 2^13 (bin index envelope incl. past-the-post
+#   evaluation), ady <= 1020 (post ys are index-space values, multiplier
+#   folded, <= 255*4), so d*ady < 2^23 < 2^24. The two-limb split
+#   existed to keep the SPLIT form's d*ady_r intermediate exact, which
+#   the collapsed form never materializes. False = the r1-r4 split form
+#   (bit-identical outputs, kept for A/B).
 
 # Flags are read at trace time inside the functions, so a sweep can flip
 # them via setattr + jax.clear_caches() (same protocol as the
@@ -312,11 +325,12 @@ def bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f):
     ady = jnp.abs(dy)
     # ONE division per element: all three floor-quotients share divisor
     # adx, so compute its reciprocal once and floor(x * rcp) instead.
-    # Exactness: every quotient here is < 2^13 (base <= 1020; q1 =
-    # floor(d*ah/adx) < d/64 <= 64 since ah < adx/64; the last quotient
-    # <= k + 64 <= d + 64 < 2^13), so the candidate's absolute error
-    # <= q * 2 ulp < 2^13 * 2^-22 << 1 and the +/-1 remainder correction
-    # in floorq recovers the exact integer floor.
+    # Exactness: every quotient here is < 2^20 (single-q: d*ady < 2^20;
+    # split form: base <= 1020; q1 = floor(d*ah/adx) < d/64 <= 64 since
+    # ah < adx/64; the last quotient <= k + 64 <= d + 64 < 2^13), so the
+    # candidate's absolute error <= q * 2 ulp < 2^20 * 2^-23 << 1 and the
+    # +/-1 remainder correction in floorq recovers the exact integer
+    # floor (q * adx <= x + adx < 2^24 stays exact for the remainder).
     rcp = jnp.float32(1.0) / adx if BRES_SHARED_RCP else None
 
     def floorq(x):
@@ -326,9 +340,23 @@ def bresenham_idx(lo_x, lo_y, hi_x, hi_y, binx_f):
         q = q - jnp.where(r < 0, jnp.float32(1.0), jnp.float32(0.0))
         return q
 
+    d = binx_f - lo_x
+    if BRES_SINGLE_Q:
+        # Collapsed form: y = lo_y + sgn * floor(d*ady/adx). Identity with
+        # the split form below: write ady = base'*adx + ady_r with
+        # base' = floor(ady/adx), 0 <= ady_r < adx; then
+        #   floor(d*ady/adx) = d*base' + floor(d*ady_r/adx),
+        # and the reference's render is y0 + sgn*base'*d + sgn*#err-steps
+        # with #err-steps(d) = floor(d*ady_r/adx) (the Bresenham error
+        # accumulator err += ady_r crosses adx exactly that many times in
+        # d steps; ref src/audio.rs:503-524). Exact in f32: d < 2^13 and
+        # ady <= 1020 give d*ady < 2^23 exact; the division's quotient
+        # error is <= q*2^-23 < 1 and floorq's correction needs
+        # q*adx <= d*ady + adx < 2^24, which holds.
+        y = lo_y + sgn * floorq(d * ady)
+        return jnp.clip(y, jnp.float32(0.0), jnp.float32(255.0))
     base = sgn * floorq(ady)  # == trunc(dy/adx)
     ady_r = ady - jnp.abs(base) * adx
-    d = binx_f - lo_x
     ah = jnp.floor(ady_r * jnp.float32(1.0 / 64.0))  # pow2: exact
     al = ady_r - ah * one64
     a_hi = d * ah

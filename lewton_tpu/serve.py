@@ -32,7 +32,7 @@ from .models.decoder import (
 from .ops.windowing import init_window_carry
 from .parallel.batch import (decode_chunk_batch_packed,
                              decode_chunks_scan_packed, pack_frame_buffers)
-from .parallel.pack12 import pack12_np, pack12_supported
+from .parallel.pack12 import p12_auto, pack12_np
 
 __all__ = ["StreamingScheduler"]
 
@@ -89,9 +89,12 @@ class _Group:
         #: dispatched-but-uncollected device steps: (device pcm, slice plan)
         self._inflight: list[tuple] = []
         #: lossless 12-bit residue H2D when the setup's bound allows and
-        #: the link is a real device (slow-tunnel win; pure overhead on CPU)
-        self._p12 = (pack12_supported(self.cs)
-                     and jax.default_backend() != "cpu")
+        #: the MEASURED link rate makes 25% fewer bytes a win (one-shot
+        #: probe; pure overhead on CPU and on fast PCIe — see
+        #: parallel/pack12.p12_auto for the recorded crossover). The
+        #: native front-end then emits the p12 planes directly.
+        self._p12 = p12_auto(self.cs)
+        self.sd.set_residue_transport("p12" if self._p12 else "default")
         #: cumulative transfer accounting (bytes H2D / D2H) — the serve
         #: surface is transfer-bound through slow links, so its bench
         #: artifact normalizes by these (VERDICT r4 weak #2)
@@ -221,9 +224,18 @@ class _Group:
         residue, bb, ib, fb, shapes = pack_frame_buffers(fr_dev)
         if self._p12:
             # 12-bit residue transport (parallel/pack12.py): 25% fewer
-            # H2D bytes, exact for this setup's static bound. Copies out
-            # of the persistent frame buffer, so slot reuse stays safe.
-            residue = pack12_np(residue)
+            # H2D bytes, exact for this setup's static bound.
+            if residue.dtype == np.uint32:
+                # native front-end emitted the planes at decode time;
+                # shapes must carry the LOGICAL residue width for the
+                # device unpack. Slot-reuse safety comes from the
+                # inflight H2D block above (same as every other leaf).
+                logical = residue.shape[:-1] + (residue.shape[-1] * 8 // 3,)
+                shapes = (("residue", logical),) + shapes[1:]
+            else:
+                # python front-end: pack here (copies out of the
+                # persistent frame buffer, so slot reuse stays safe)
+                residue = pack12_np(residue)
         dev = (jnp.asarray(residue), jnp.asarray(bb), jnp.asarray(ib),
                jnp.asarray(fb))
         if N > 1:

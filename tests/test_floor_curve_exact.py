@@ -60,6 +60,32 @@ def test_bresenham_corner_geometries():
     np.testing.assert_array_equal(got, want)
 
 
+def test_bresenham_single_q_equals_split_form():
+    """The r5 collapsed single-quotient render (BRES_SINGLE_Q) must be
+    bit-identical to the r1-r4 split form over the full operand envelope
+    (the module docstrings carry the integer-identity proof; this pins
+    it empirically, both slope signs, adx=1, and past-the-post bins)."""
+    import lewton_tpu.ops.floor_curve as fc
+
+    rng = np.random.RandomState(11)
+    lo_x = rng.randint(0, 4000, 20000)
+    hi_x = lo_x + rng.randint(1, 4096, 20000)
+    lo_y = rng.randint(0, 1021, 20000)
+    hi_y = rng.randint(0, 1021, 20000)
+    x = np.minimum(lo_x + rng.randint(0, 4500, 20000), 2 ** 13 - 1)
+    args = [jnp.asarray(a.astype(np.float32))
+            for a in (lo_x, lo_y, hi_x, hi_y, x)]
+    old = fc.BRES_SINGLE_Q
+    try:
+        fc.BRES_SINGLE_Q = True
+        got_single = np.asarray(fc.bresenham_idx(*args))
+        fc.BRES_SINGLE_Q = False
+        got_split = np.asarray(fc.bresenham_idx(*args))
+    finally:
+        fc.BRES_SINGLE_Q = old
+    np.testing.assert_array_equal(got_single, got_split)
+
+
 def test_db_value_within_2ulp_all_256():
     t = np.asarray(floor1_inverse_db_table(), np.float32)
     got = np.asarray(floor1_db_value(jnp.arange(256, dtype=jnp.float32)))

@@ -77,6 +77,40 @@ def test_supported_gating(corpus_dir):
     assert not pack12_supported(cs10)
 
 
+def test_native_p12_emit_matches_pack_of_i16(corpus_dir):
+    """The native front-end's direct p12 emit (residue_dtype=uint32,
+    lt_decode_chunk_p12) must produce byte-identical planes to decoding
+    i16 and packing with pack12_np — same packets, same chunk."""
+    from lewton_tpu import native
+    from lewton_tpu.models.decoder import StreamDecoder
+
+    if not native.available():
+        pytest.skip("native library not built")
+    headers, pcks = _audio_packets(corpus_dir, "stereo_44k_q3.ogg")
+    raw = _raw_headers(corpus_dir, "stereo_44k_q3.ogg")
+    sd = StreamDecoder(headers.ident, headers.setup, chunk=16,
+                       raw_headers=raw)
+    assert sd._native is not None and sd.cs.residue_i16
+    sd.set_residue_transport("default")
+    fr_i16, st1 = sd.entropy_chunk_status(pcks[:16])
+    sd.set_residue_transport("p12")
+    fr_p12, st2 = sd.entropy_chunk_status(pcks[:16])
+    np.testing.assert_array_equal(st1, st2)
+    assert fr_p12["residue"].dtype == np.uint32
+    np.testing.assert_array_equal(pack12_np(fr_i16["residue"]),
+                                  fr_p12["residue"])
+    sd.set_residue_transport("default")
+
+
+def _raw_headers(corpus_dir, name):
+    with open(os.path.join(corpus_dir, name), "rb") as f:
+        rdr = PacketReader(f.read())
+    h1 = rdr.read_packet().data
+    rdr.read_packet()
+    h3 = rdr.read_packet().data
+    return h1, h3
+
+
 def test_decode_streams_p12_matches_i16(corpus_dir):
     """transport='p12' must bit-match the i16 transport end to end, on
     both compaction modes and through scan grouping."""
