@@ -43,6 +43,10 @@ int lt_decode_chunk(StreamOpaque*, const uint8_t*, const uint64_t*,
                     const uint64_t*, int, int32_t*, uint8_t*, uint8_t*,
                     uint8_t*, float*, uint8_t*, int32_t*, uint8_t*, float*,
                     float*, int);
+int lt_decode_chunk_p12(StreamOpaque*, const uint8_t*, const uint64_t*,
+                        const uint64_t*, int, int32_t*, uint8_t*, uint8_t*,
+                        uint8_t*, uint32_t*, uint8_t*, int32_t*, uint8_t*,
+                        float*, float*, int);
 }
 
 static uint32_t rng_state = 0x1234567;
@@ -141,6 +145,16 @@ static int decode_all(const std::vector<uint8_t>& data) {
                         status.data(), residue.data(), f_kind.data(),
                         f1_ys.data(), f1_flags.data(), f0_cosc.data(),
                         f0_amp.data(), rw);
+        // the 12-bit emit path (new r5 C code: hot-row pack) on the
+        // same hostile packets, where the row width allows it
+        if ((C * (size_t)rw) % 8 == 0) {
+          std::vector<uint32_t> resp12((size_t)T * 3 * (C * rw) / 8);
+          lt_decode_chunk_p12(stm, buf.data(), offs.data(), lens.data(), T,
+                              mode.data(), prevf.data(), nextf.data(),
+                              status.data(), resp12.data(), f_kind.data(),
+                              f1_ys.data(), f1_flags.data(),
+                              f0_cosc.data(), f0_amp.data(), rw);
+        }
       }
     }
     lt_stream_free(stm);
