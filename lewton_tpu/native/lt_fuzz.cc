@@ -8,8 +8,11 @@
 // (truncations, bit flips, region scrambles) — any overflow/UB aborts.
 //
 // Usage: lt_fuzz FILE.ogg [FILE2.ogg ...]
+//   LT_FUZZ_SEED=N   mutation RNG seed (default 0x1234567) — multi-seed
+//                    campaigns sweep different flip/scramble sites
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <vector>
@@ -163,6 +166,8 @@ static int decode_all(const std::vector<uint8_t>& data) {
 }
 
 int main(int argc, char** argv) {
+  if (const char* seed = std::getenv("LT_FUZZ_SEED"))
+    rng_state = (uint32_t)strtoul(seed, nullptr, 0) | 1u;
   int total_variants = 0;
   for (int a = 1; a < argc; ++a) {
     std::ifstream f(argv[a], std::ios::binary);
