@@ -579,6 +579,23 @@ def bench_frontend(args) -> None:
             n += S * 64
         rates[threads] = n / dt
     best = max(rates.values())
+    # the shipped TPU transport is p12 on slow links: measure the direct
+    # p12-emit rate too (lt_decode_chunk_p12 packs from the hot scratch
+    # row; +11.5% vs i16+separate-pack in the controlled cpu-time A/B,
+    # tools/ab_p12emit.py)
+    p12_rate = None
+    from lewton_tpu.parallel.pack12 import pack12_supported
+
+    if pack12_supported(sd.cs):
+        sd.set_residue_transport("p12")
+        out12 = sd.entropy_chunk_batch(streams)
+        n = 0
+        t0 = time.perf_counter()
+        while (dt := time.perf_counter() - t0) < 3.0:
+            sd.entropy_chunk_batch(streams, threads=1, out=out12)
+            n += S * 64
+        p12_rate = n / dt
+        sd.set_residue_transport("default")
     # packets/s -> x-realtime: ~1024 samples/packet at 44.1 kHz
     samples = np.mean([1024])  # q3 long-block dominated
     print(json.dumps({
@@ -588,6 +605,8 @@ def bench_frontend(args) -> None:
         "vs_baseline": round(best * samples / 44100.0 / 10000.0, 3),
         "detail": {"per_thread_rates": {str(k): round(v, 1)
                                         for k, v in rates.items()},
+                   "p12_emit_packets_per_s": (round(p12_rate, 1)
+                                              if p12_rate else None),
                    "cores": cores,
                    "one_core_host": cores == 1,
                    "x_realtime_equiv": round(best * samples / 44100.0, 1),
