@@ -131,6 +131,41 @@ def _raw_headers(corpus_dir, name):
     return h1, h3
 
 
+def test_same_decoder_switches_transport_between_calls(corpus_dir):
+    """One BatchDecoder alternating p12 / i16 / p12 across calls must
+    reconfigure the native emit dtype each time (decode_streams_i16 sets
+    the front-end transport per call — a stale u32 emit would corrupt an
+    i16 call and vice versa)."""
+    headers, pcks = _audio_packets(corpus_dir, "stereo_44k_q3.ogg")
+    pcks = pcks[:24]
+    dec = BatchDecoder(headers.ident, headers.setup, chunk=16)
+    outs = {}
+    for t in ("p12", "i16", "p12", "i16"):
+        outs.setdefault(t, []).append(
+            dec.decode_streams_i16([pcks], transport=t)[0])
+    np.testing.assert_array_equal(outs["p12"][0], outs["i16"][0])
+    np.testing.assert_array_equal(outs["p12"][0], outs["p12"][1])
+    np.testing.assert_array_equal(outs["i16"][0], outs["i16"][1])
+    # and the f32/plain-frame path resets the emit too
+    plain = dec.decode_streams([pcks])[0]
+    assert plain.shape[1] == outs["i16"][0].shape[0]
+
+
+def test_set_residue_transport_rejects_unsupported_p12(corpus_dir):
+    """p12 emit on a setup whose static bound exceeds 2048 must refuse
+    loudly (the policy layer filters first; the setter is the backstop)."""
+    from lewton_tpu.models.decoder import StreamDecoder
+
+    headers = _headers(corpus_dir, "stereo_44k_q10.ogg")
+    raw = _raw_headers(corpus_dir, "stereo_44k_q10.ogg")
+    sd = StreamDecoder(headers.ident, headers.setup, chunk=16,
+                       raw_headers=raw)
+    if sd._native is None:
+        pytest.skip("native library not built")
+    with pytest.raises(AssertionError):
+        sd.set_residue_transport("p12")
+
+
 def test_decode_streams_p12_matches_i16(corpus_dir):
     """transport='p12' must bit-match the i16 transport end to end, on
     both compaction modes and through scan grouping."""
