@@ -317,7 +317,20 @@ class _Group:
 
 
 class StreamingScheduler:
-    """Register Ogg Vorbis streams, step the device, poll PCM per stream."""
+    """Register Ogg Vorbis streams, step the device, poll PCM per stream.
+
+    Long-running deployments: the scheduler's own state is steady-state
+    (tools/soak_serve.py measured 539 consecutive 24-stream waves on the
+    CPU backend at +0 MB host RSS). Through the dev tunnel's axon PJRT
+    plugin, however, every host->device transfer leaks ~1x its byte
+    count of host RSS inside the closed plugin .so (tools/leak_probe.py:
+    per-byte, same leak for device_put/jnp.asarray/buffer lists, immune
+    to .delete()/gc/clear_caches/malloc_trim; D2H is clean) — a 30 min
+    TPU soak grew ~10 MB per wave while the identical CPU soak was
+    flat. The p12 transport already cuts the leaked bytes to 3/8 of
+    i16; beyond that, monitor RSS and recycle workers if the serving
+    process must outlive the plugin's leak budget on such a link.
+    """
 
     def __init__(self, capacity: int = 16, chunk: int = 16, scan: int = 1):
         self.capacity = capacity
