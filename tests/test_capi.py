@@ -146,3 +146,43 @@ def test_native_backend_matches_golden(lib, corpus_dir, name):
     assert out.shape == golden.shape
     d = np.abs(out.astype(np.int32) - golden.astype(np.int32))
     assert int((d > 2).sum()) == 0, f"max diff {d.max()}"
+
+
+def test_capi_demo_c_builds_and_decodes(lib, corpus_dir, tmp_path):
+    """examples/capi_demo.c: a pure-C client of the shipped ABI (demux via
+    lt_ogg_*, xiph extradata, lewton_decode_packet, WAV out) must build
+    with the system cc and match the python decode within the numerics
+    contract over the granule-trimmed range (the packet-level C API has
+    no container knowledge, so it emits the untrimmed tail — same as
+    lewton's capi, reference src/capi.rs:79-147)."""
+    import subprocess
+    import wave
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    exe = str(tmp_path / "capi_demo")
+    subprocess.run(
+        ["cc", "-O2", os.path.join(root, "examples", "capi_demo.c"),
+         "-I", os.path.join(root, "lewton_tpu", "native"),
+         "-L", os.path.join(root, "lewton_tpu", "native"),
+         "-llewton_host", "-lm", "-o", exe], check=True)
+    wav_path = str(tmp_path / "out.wav")
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=os.path.join(root, "lewton_tpu", "native"))
+    r = subprocess.run(
+        [exe, os.path.join(corpus_dir, "stereo_44k_q3.ogg"), wav_path],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+
+    w = wave.open(wav_path)
+    pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    pcm = pcm.reshape(-1, w.getnchannels())
+    assert w.getframerate() == 44100 and w.getnchannels() == 2
+
+    from lewton_tpu.inside_ogg import OggStreamReader
+
+    ref = OggStreamReader(
+        os.path.join(corpus_dir, "stereo_44k_q3.ogg"), backend="numpy"
+    ).read_all_i16()
+    assert len(pcm) >= len(ref)  # C demo keeps the untrimmed tail
+    d = np.abs(pcm[: len(ref)].astype(np.int32) - ref.astype(np.int32))
+    assert int((d > 2).sum()) == 0, f"max diff {d.max()}"
