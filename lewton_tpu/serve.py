@@ -18,6 +18,8 @@ packets, which the pipeline treats as no-ops.
 from __future__ import annotations
 
 import os as _os
+import time as _time
+from collections import deque
 from dataclasses import dataclass, field
 
 import jax
@@ -57,6 +59,11 @@ class _StreamState:
     #: the newest step uncollected, so `done and not out` alone can drop
     #: the final chunk's audio)
     inflight: int = 0
+    #: latency stamps (perf_counter): registration, first/last PCM
+    #: materialized into `out` — the serving SLO surface
+    t_added: float = 0.0
+    t_first_pcm: float | None = None
+    t_last_pcm: float | None = None
 
 
 class _Group:
@@ -297,9 +304,14 @@ class _Group:
             pcm = np.asarray(pcm)  # [S, cap, C] or [N, S, cap, C] i16
             if pcm.ndim == 3:
                 pcm = pcm[None]
+            now = _time.perf_counter()
             for st, slot, n, pos, keep in plan:
                 st.out.append(pcm[n, slot, pos : pos + keep])
                 st.inflight -= 1
+                if keep:
+                    if st.t_first_pcm is None:
+                        st.t_first_pcm = now
+                    st.t_last_pcm = now
 
     @staticmethod
     def _apply_absgp(st: _StreamState, pck, n: int) -> int:
@@ -346,6 +358,9 @@ class StreamingScheduler:
         self.streams: dict[object, tuple[_Group, _StreamState]] = {}
         #: streams still waiting for their three header packets
         self.pending: dict[object, list] = {}
+        #: (first_pcm_latency_s, turnaround_s) of retired completed
+        #: streams — bounded so a long-lived server's metrics stay O(1)
+        self._completed: deque = deque(maxlen=4096)
 
     def _group_with_room(self, ident_pck: bytes, setup_pck: bytes) -> _Group:
         lst = self.groups.setdefault((ident_pck, setup_pck), [])
@@ -366,7 +381,8 @@ class StreamingScheduler:
         from .ogg.demux import IncrementalPacketReader
 
         rdr = IncrementalPacketReader()
-        self.pending[sid] = [rdr, None, []]  # reader, serial, header packets
+        # reader, serial, header packets, registration stamp
+        self.pending[sid] = [rdr, None, [], _time.perf_counter()]
         if ogg_bytes is not None:
             self.feed(sid, ogg_bytes)
 
@@ -382,7 +398,7 @@ class StreamingScheduler:
             return
         if sid not in self.pending:
             raise KeyError(f"unknown stream id {sid!r}")
-        rdr, serial, headers = self.pending[sid]
+        rdr, serial, headers, t_added = self.pending[sid]
         rdr.feed(data)
         while len(headers) < 3 and (p := rdr.read_packet()) is not None:
             if serial is None:
@@ -395,7 +411,7 @@ class StreamingScheduler:
         # headers complete: assign a group and promote to active
         ident_pck, setup_pck = headers[0].data, headers[2].data
         grp = self._group_with_room(ident_pck, setup_pck)
-        st = _StreamState(sid=sid, slot=-1, packets=[])
+        st = _StreamState(sid=sid, slot=-1, packets=[], t_added=t_added)
         st.reader = rdr
         st.serial = serial
         while (p := rdr.read_packet()) is not None:
@@ -467,4 +483,30 @@ class StreamingScheduler:
             del self.pending[sid]
             return
         grp, st = self.streams.pop(sid)
+        if st.done and st.t_first_pcm is not None:
+            self._completed.append((st.t_first_pcm - st.t_added,
+                                    (st.t_last_pcm or st.t_first_pcm)
+                                    - st.t_added))
         grp.remove(st)
+
+    def latency_stats(self) -> dict:
+        """Serving SLO metrics over retired completed streams (last 4096):
+        seconds from registration to the FIRST PCM materialized
+        (time-to-first-audio) and to the LAST (turnaround), as
+        p50/p95/p99/max percentiles. Streams are stamped when collect()
+        materializes their PCM, so the numbers include device + transfer
+        + pipeline-depth delay — what a caller actually waits. Empty
+        dict until a completed stream has been removed."""
+        if not self._completed:
+            return {}
+        first = np.array([c[0] for c in self._completed])
+        total = np.array([c[1] for c in self._completed])
+        pct = (50, 95, 99)
+
+        def row(a):
+            d = {f"p{p}_s": float(np.percentile(a, p)) for p in pct}
+            d["max_s"] = float(a.max())
+            return d
+
+        return {"streams": len(self._completed),
+                "first_pcm": row(first), "turnaround": row(total)}

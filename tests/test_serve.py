@@ -263,3 +263,26 @@ def test_scheduler_scan_matches_per_chunk(corpus_dir):
                       for sid in files}
     for sid in files:
         np.testing.assert_array_equal(outs[1][sid], outs[3][sid])
+
+
+def test_scheduler_latency_stats(corpus_dir):
+    """latency_stats(): retired completed streams report first-PCM and
+    turnaround percentiles; first_pcm <= turnaround, all positive, and
+    the window stays bounded (deque maxlen)."""
+    data = open(os.path.join(corpus_dir, "tiny_44k.ogg"), "rb").read()
+    sched = StreamingScheduler(capacity=4, chunk=8)
+    assert sched.latency_stats() == {}  # nothing retired yet
+    for i in range(6):
+        sched.add_stream(i, data)
+    while sched.step():
+        pass
+    for i in range(6):
+        sched.poll(i)
+        assert sched.is_done(i)
+        sched.remove_stream(i)
+    st = sched.latency_stats()
+    assert st["streams"] == 6
+    for row in (st["first_pcm"], st["turnaround"]):
+        assert 0 < row["p50_s"] <= row["p95_s"] <= row["p99_s"] <= row["max_s"]
+    assert st["first_pcm"]["p50_s"] <= st["turnaround"]["p50_s"] + 1e-9
+    assert st["turnaround"]["max_s"] < 60.0  # sanity: seconds, not stamps
