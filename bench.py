@@ -517,12 +517,17 @@ def bench_serve(args) -> None:
         grp, _ = sched.streams[i]
         rates[i] = grp.cs.sample_rate
         total_samples += pcm.shape[0] / grp.cs.sample_rate
+        sched.remove_stream(i)
     dt = time.perf_counter() - t0
     stats = sched.transfer_stats()
+    lat = sched.latency_stats()
     detail = {"streams": S, "setups": len(files),
               "wall_s": round(dt, 3),
               "audio_s": round(total_samples, 1),
-              "platform": jax.devices()[0].platform}
+              "platform": jax.devices()[0].platform,
+              # SLO surface: p50/p95/p99 registration->first-PCM and
+              # turnaround (includes pipeline-depth + transfer delay)
+              "latency": lat}
     detail.update(_link_detail(stats["h2d_bytes"], stats["d2h_bytes"],
                                total_samples, dt, probe))
     print(json.dumps({
