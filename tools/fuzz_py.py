@@ -80,12 +80,67 @@ def run_one(data: bytes) -> str:
         return "err"
 
 
+def run_inc_demux(data: bytes, rng: np.random.RandomState) -> str:
+    """Incremental demux parity: the serving/async input path
+    (IncrementalPacketReader fed in random-sized chunks) must yield the
+    SAME packet stream as the batch PacketReader on the same bytes, and
+    fail with the same taxonomy when the container is broken."""
+    from lewton_tpu.errors import OggError
+    from lewton_tpu.ogg import PacketReader
+    from lewton_tpu.ogg.demux import IncrementalPacketReader
+
+    def drain_batch():
+        r = PacketReader(data)
+        out = []
+        while (p := r.read_packet()) is not None:
+            out.append((p.stream_serial, p.data, p.last_in_stream))
+        return out
+
+    def drain_inc():
+        r = IncrementalPacketReader()
+        out, pos = [], 0
+        while pos < len(data):
+            n = int(rng.randint(1, 4096))
+            r.feed(data[pos : pos + n])
+            pos += n
+            while (p := r.read_packet()) is not None:
+                out.append((p.stream_serial, p.data, p.last_in_stream))
+        return out
+
+    try:
+        batch = drain_batch()
+        batch_err = None
+    except OggError as e:
+        batch, batch_err = None, type(e)
+    try:
+        inc = drain_inc()
+        inc_err = None
+    except OggError as e:
+        inc, inc_err = None, type(e)
+    if batch_err is not None or inc_err is not None:
+        # both readers must agree the container is broken (the incremental
+        # reader may legitimately fail EARLIER or LATER in the byte
+        # stream, but never succeed where batch hard-fails, or vice versa)
+        if (batch_err is None) != (inc_err is None):
+            raise AssertionError(
+                f"demux disagreement: batch={batch_err} inc={inc_err}")
+        return "err"
+    if batch != inc:
+        raise AssertionError(
+            f"incremental demux diverged: {len(batch)} vs {len(inc)} packets")
+    return "ok"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--per-file", type=int, default=150)
     ap.add_argument("--files", default="tiny_44k.ogg,stereo_44k_q3.ogg,"
                     "mono_16k_q3.ogg,chained_44k.ogg,ch4_32k_q2.ogg")
+    ap.add_argument("--api", default="decode", choices=["decode", "demux"],
+                    help="decode: full OggStreamReader(numpy) pipeline; "
+                    "demux: incremental-vs-batch demuxer parity (the "
+                    "serve/aio input path, random feed chunking)")
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "data", "corpus")
@@ -100,7 +155,8 @@ def main() -> int:
         for name, var in variants(data, rng, args.per_file):
             t_var = time.perf_counter()
             try:
-                res = run_one(var)
+                res = (run_one(var) if args.api == "decode"
+                       else run_inc_demux(var, rng))
             except Exception as e:  # noqa: BLE001 — the whole point
                 print(f"FUZZ FAIL {fname}/{name}: {type(e).__name__}: {e}")
                 return 1
