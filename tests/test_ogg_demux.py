@@ -252,3 +252,21 @@ def test_post_seek_demuxer_parity(corpus_dir):
         hit_spanning = hit_spanning or any(
             q.spans_pages for q in b._pcks[: len(b._pcks) - len(pb)])
     assert hit_spanning  # at least one target actually crossed a spanning packet
+
+
+def test_incremental_demux_parity_under_mutation(corpus_dir):
+    """IncrementalPacketReader fed in random chunks must yield the same
+    packet stream as the batch PacketReader — on clean corpus files AND
+    on mutated containers (the serve/aio input path; campaign-scale
+    version: tools/fuzz_py.py --api demux, 20k+ variants recorded in
+    PERF.md)."""
+    import numpy as np
+
+    from tools.fuzz_py import run_inc_demux, variants
+
+    rng = np.random.RandomState(7)
+    for name in ("tiny_44k.ogg", "chained_44k.ogg"):
+        data = open(os.path.join(corpus_dir, name), "rb").read()
+        assert run_inc_demux(data, rng) == "ok"  # clean file: exact parity
+        for vname, var in variants(data, rng, 12):
+            run_inc_demux(var, rng)  # parity or agreed taxonomy, no raise
