@@ -34,14 +34,27 @@ void lt_ogg_packet_meta(const LtOgg *r, uint64_t *lens, uint32_t *serials,
                         uint8_t *flags, uint64_t *absgp, uint64_t *pg);
 void lt_ogg_packet_data(const LtOgg *r, uint8_t *out);
 
+static void *xmalloc(size_t n) {
+  void *p = malloc(n);
+  if (!p) {
+    fprintf(stderr, "out of memory (%zu bytes)\n", n);
+    exit(1);
+  }
+  return p;
+}
+
 static uint8_t *read_file(const char *path, size_t *len_out) {
   FILE *f = fopen(path, "rb");
   if (!f) return NULL;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
+  if (n < 0) { /* non-seekable input */
+    fclose(f);
+    return NULL;
+  }
   fseek(f, 0, SEEK_SET);
-  uint8_t *buf = malloc((size_t)n);
-  if (!buf || fread(buf, 1, (size_t)n, f) != (size_t)n) {
+  uint8_t *buf = xmalloc((size_t)n);
+  if (fread(buf, 1, (size_t)n, f) != (size_t)n) {
     fclose(f);
     free(buf);
     return NULL;
@@ -57,7 +70,7 @@ static uint8_t *make_extradata(const uint8_t *p0, size_t n0,
                                const uint8_t *p1, size_t n1,
                                const uint8_t *p2, size_t n2, size_t *out_n) {
   size_t lace = n0 / 255 + 1 + n1 / 255 + 1;
-  uint8_t *x = malloc(1 + lace + n0 + n1 + n2), *w = x;
+  uint8_t *x = xmalloc(1 + lace + n0 + n1 + n2), *w = x;
   *w++ = 2;
   for (size_t k = n0; ; k -= 255) { *w++ = k >= 255 ? 255 : (uint8_t)k; if (k < 255) break; }
   for (size_t k = n1; ; k -= 255) { *w++ = k >= 255 ? 255 : (uint8_t)k; if (k < 255) break; }
@@ -94,16 +107,16 @@ int main(int argc, char **argv) {
   if (!demux) { fprintf(stderr, "bad ogg container\n"); return 1; }
   int64_t n = lt_ogg_packet_count(demux);
   if (n < 4) { fprintf(stderr, "need headers + audio\n"); return 1; }
-  uint64_t *lens = malloc((size_t)n * 8), *absgp = malloc((size_t)n * 8);
-  uint64_t *pg = malloc((size_t)n * 8);
-  uint32_t *serials = malloc((size_t)n * 4);
-  uint8_t *flags = malloc((size_t)n);
+  uint64_t *lens = xmalloc((size_t)n * 8), *absgp = xmalloc((size_t)n * 8);
+  uint64_t *pg = xmalloc((size_t)n * 8);
+  uint32_t *serials = xmalloc((size_t)n * 4);
+  uint8_t *flags = xmalloc((size_t)n);
   lt_ogg_packet_meta(demux, lens, serials, flags, absgp, pg);
   size_t total = 0;
   for (int64_t i = 0; i < n; ++i) total += lens[i];
-  uint8_t *pool = malloc(total);
+  uint8_t *pool = xmalloc(total);
   lt_ogg_packet_data(demux, pool);
-  uint8_t **pck = malloc((size_t)n * sizeof *pck);
+  uint8_t **pck = xmalloc((size_t)n * sizeof *pck);
   for (int64_t i = 0, off = 0; i < n; off += (int64_t)lens[i++])
     pck[i] = pool + off;
 
@@ -130,7 +143,7 @@ int main(int argc, char **argv) {
     size_t ch = lewton_samples_channels(s);
     channels = (uint16_t)ch;
     if (cnt) {
-      int16_t *row = malloc(cnt * ch * 2);
+      int16_t *row = xmalloc(cnt * ch * 2);
       for (size_t c = 0; c < ch; ++c) {
         const float *src = lewton_samples_f32(s, c);
         for (size_t j = 0; j < cnt; ++j) {
@@ -145,6 +158,12 @@ int main(int argc, char **argv) {
       nsamp += (uint32_t)cnt;
     }
     lewton_samples_drop(s);
+  }
+  if (channels == 0) { /* nothing decoded: don't emit a 0-channel WAV */
+    fclose(out);
+    remove(argv[2]);
+    fprintf(stderr, "no decodable audio packets\n");
+    return 1;
   }
   /* back-patch the WAV sizes now that the sample count is known */
   fseek(out, 0, SEEK_SET);

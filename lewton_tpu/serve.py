@@ -308,10 +308,11 @@ class _Group:
             for st, slot, n, pos, keep in plan:
                 st.out.append(pcm[n, slot, pos : pos + keep])
                 st.inflight -= 1
-                if keep:
-                    if st.t_first_pcm is None:
-                        st.t_first_pcm = now
-                    st.t_last_pcm = now
+                # plan entries always carry keep > 0 (step_dispatch skips
+                # zero-keep packets), so every entry stamps
+                if st.t_first_pcm is None:
+                    st.t_first_pcm = now
+                st.t_last_pcm = now
 
     @staticmethod
     def _apply_absgp(st: _StreamState, pck, n: int) -> int:
@@ -484,9 +485,9 @@ class StreamingScheduler:
             return
         grp, st = self.streams.pop(sid)
         if st.done and st.t_first_pcm is not None:
+            # t_last_pcm is set whenever t_first_pcm is (same stamp site)
             self._completed.append((st.t_first_pcm - st.t_added,
-                                    (st.t_last_pcm or st.t_first_pcm)
-                                    - st.t_added))
+                                    st.t_last_pcm - st.t_added))
         grp.remove(st)
 
     def latency_stats(self) -> dict:

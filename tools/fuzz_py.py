@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 import time
 
@@ -33,6 +34,9 @@ def variants(data: bytes, rng: np.random.RandomState, n: int):
     scrambles, duplications, splices — weighted toward header pages
     (first ~1 KB) where parser state lives."""
     L = len(data)
+    if L < 2:  # degenerate input: the mutation draws below need L >= 2
+        yield "as_is", data
+        return
     for i in range(n):
         kind = rng.randint(0, 6)
         b = bytearray(data)
@@ -147,6 +151,10 @@ def main() -> int:
     from tools import corpus
 
     corpus.ensure_corpus(root)
+    def _hang(*_):
+        raise TimeoutError("variant exceeded the 45s hang guard")
+
+    signal.signal(signal.SIGALRM, _hang)
     rng = np.random.RandomState(0xF0 + args.seed)
     total = ok = err = 0
     t0 = time.perf_counter()
@@ -154,14 +162,19 @@ def main() -> int:
         data = open(os.path.join(root, fname), "rb").read()
         for name, var in variants(data, rng, args.per_file):
             t_var = time.perf_counter()
+            # preemptive hang guard: SIGALRM interrupts a variant that
+            # never returns (a post-hoc elapsed check can't fire then)
+            signal.alarm(45)
             try:
                 res = (run_one(var) if args.api == "decode"
                        else run_inc_demux(var, rng))
             except Exception as e:  # noqa: BLE001 — the whole point
                 print(f"FUZZ FAIL {fname}/{name}: {type(e).__name__}: {e}")
                 return 1
+            finally:
+                signal.alarm(0)
             dt = time.perf_counter() - t_var
-            if dt > 30.0:  # hang guard: no variant may stall the decoder
+            if dt > 30.0:  # slow-variant budget (shorter than the alarm)
                 print(f"FUZZ SLOW {fname}/{name}: {dt:.1f}s")
                 return 1
             total += 1

@@ -18,7 +18,8 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def rss_mb() -> float:
@@ -49,9 +50,10 @@ def main() -> int:
     from lewton_tpu.serve import StreamingScheduler
     from tools import corpus
 
-    root = "tests/data/corpus"
+    root = os.path.join(ROOT, "tests", "data", "corpus")
     corpus.ensure_corpus(root)
-    subprocess.run(["make", "-C", "lewton_tpu/native", "-s"], check=True)
+    subprocess.run(["make", "-C", os.path.join(ROOT, "lewton_tpu", "native"),
+                    "-s"], check=True)
     files = ["stereo_44k_q3.ogg", "stereo_48k_q5.ogg", "mono_16k_q3.ogg"]
     datas = [open(f"{root}/{f}", "rb").read() for f in files]
     S = args.streams
